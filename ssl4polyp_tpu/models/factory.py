@@ -1,0 +1,147 @@
+"""Backbone/classifier factories for the three pretraining schemes.
+
+Mirrors the capability of the reference factories
+(``src/ssl4polyp/models/utils/__init__.py:29-66``):
+
+* ``get_mae_backbone``   — ViT-B encoder with MAE lineage (fixed sin-cos pos
+  embeddings), optionally initialised from an MAE torch checkpoint
+  (SSL-imnet / SSL-colon schemes);
+* ``get_imagenet_or_random_vit`` — timm-lineage ViT-B (learned pos
+  embeddings), optionally initialised from a local AugReg ``.npz``
+  (SUP-imnet scheme) — no network download: the checkpoint path must exist.
+
+Both return a :class:`Classifier` bundling the parameter pytree, the model
+config and a jittable ``apply`` function.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import layers
+from .vit import ViTConfig, init_vit, vit_forward
+from .import_torch import (
+    load_torch_state_dict,
+    mae_params_from_torch,
+    vit_params_from_augreg_npz,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class Classifier:
+    params: Params
+    cfg: ViTConfig
+    scheme: str  # "sup_imnet" | "ssl_imnet" | "ssl_colon" | "random"
+
+    def apply(self, params: Params, images: jax.Array) -> jax.Array:
+        return vit_forward(params, images, self.cfg)
+
+
+def _as_jax(tree):
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype=jnp.float32), tree)
+
+
+def _vit_b(num_classes: Optional[int], out_token: str, pos_embed: str, **overrides) -> ViTConfig:
+    return ViTConfig(
+        embed_dim=768,
+        depth=12,
+        num_heads=12,
+        pos_embed=pos_embed,
+        num_classes=num_classes,
+        out_token=out_token,
+        **overrides,
+    )
+
+
+def get_mae_backbone(
+    key: jax.Array,
+    weight_path: Optional[str | Path] = None,
+    num_classes: Optional[int] = 2,
+    out_token: str = "cls",
+    scheme: str = "ssl_colon",
+    **overrides,
+) -> Classifier:
+    """ViT-B encoder from an MAE checkpoint (decoder discarded) + fresh head."""
+    cfg = _vit_b(num_classes, out_token, pos_embed="sincos", **overrides)
+    params = init_vit(key, cfg)
+    if weight_path is not None:
+        state = load_torch_state_dict(weight_path, key="model")
+        imported = mae_params_from_torch(state, cfg, include_decoder=False)
+        imported = _as_jax(imported)
+        head = params.get("head")
+        params = imported
+        if head is not None:
+            params["head"] = head
+    return Classifier(params=params, cfg=cfg, scheme=scheme)
+
+
+def get_imagenet_or_random_vit(
+    key: jax.Array,
+    pretrained_npz: Optional[str | Path] = None,
+    num_classes: Optional[int] = 2,
+    out_token: str = "cls",
+    **overrides,
+) -> Classifier:
+    """timm-lineage ViT-B: AugReg weights when a local ``.npz`` is given, else random."""
+    cfg = _vit_b(num_classes, out_token, pos_embed="learned", **overrides)
+    params = init_vit(key, cfg)
+    scheme = "random"
+    if pretrained_npz is not None:
+        npz = Path(pretrained_npz)
+        if not npz.exists():
+            raise FileNotFoundError(
+                f"AugReg checkpoint not found at {npz}. This environment has no "
+                "network egress; place the npz locally and point the model config "
+                "checkpoint field at it."
+            )
+        imported = _as_jax(vit_params_from_augreg_npz(npz, cfg))
+        head = params.get("head")
+        params = imported
+        if head is not None:
+            params["head"] = head
+        scheme = "sup_imnet"
+    return Classifier(params=params, cfg=cfg, scheme=scheme)
+
+
+def build_classifier(
+    key: jax.Array,
+    model_cfg: Dict[str, Any],
+    num_classes: int = 2,
+    checkpoint_root: Optional[Path] = None,
+    **overrides,
+) -> Classifier:
+    """Build a classifier from a ``model:`` config section.
+
+    Dispatch mirrors the reference's scheme table (``config/model/*.yaml`` +
+    ``train_classification.py`` model selection): ``ss_framework: mae`` →
+    MAE backbone; ``pretraining: ImageNet_class`` → AugReg ViT; otherwise
+    random init.
+    """
+    pretraining = str(model_cfg.get("pretraining", "random")).lower()
+    ss_framework = str(model_cfg.get("ss_framework", "")).lower()
+    checkpoint = model_cfg.get("checkpoint")
+    if checkpoint is not None and checkpoint_root is not None:
+        candidate = Path(checkpoint)
+        if not candidate.is_absolute():
+            checkpoint = checkpoint_root / candidate
+
+    if ss_framework == "mae" or pretraining in {"hyperkvasir", "imagenet_self"}:
+        scheme = str(model_cfg.get("key", "ssl"))
+        weight = checkpoint if checkpoint and Path(checkpoint).exists() else None
+        return get_mae_backbone(
+            key, weight_path=weight, num_classes=num_classes, scheme=scheme, **overrides
+        )
+    if pretraining == "imagenet_class":
+        npz = checkpoint if checkpoint and Path(checkpoint).exists() else None
+        return get_imagenet_or_random_vit(
+            key, pretrained_npz=npz, num_classes=num_classes, **overrides
+        )
+    return get_imagenet_or_random_vit(key, None, num_classes=num_classes, **overrides)

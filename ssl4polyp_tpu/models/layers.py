@@ -1,0 +1,193 @@
+"""Shared functional layers: layernorm, MLP, attention, stacked blocks.
+
+Design notes (TPU-first):
+
+* Parameters are plain dicts of ``jnp.ndarray``; per-block tensors are
+  stacked along a leading ``depth`` axis and consumed by ``lax.scan``.
+* Compute runs in a configurable dtype (bf16 by default on TPU) while
+  parameters and layer-norm statistics stay in fp32 — the standard
+  mixed-precision recipe for MXU-bound transformer stacks.
+* Attention uses a single fused QKV projection (one big matmul for the MXU)
+  and either an XLA einsum path or the Pallas fused-attention kernel from
+  :mod:`ssl4polyp_tpu.ops.attention`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialisers (matching the reference init scheme: xavier-uniform linears,
+# zero biases, unit layernorm — models_mae.py:85-93)
+# ---------------------------------------------------------------------------
+
+def xavier_uniform(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+    fan_in, fan_out = shape[-2], shape[-1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-limit, maxval=limit)
+
+
+def trunc_normal(key: jax.Array, shape, std=0.02, dtype=jnp.float32) -> jax.Array:
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def init_linear(key: jax.Array, d_in: int, d_out: int, stack: Optional[int] = None) -> Params:
+    if stack is None:
+        kernel = xavier_uniform(key, (d_in, d_out))
+        bias = jnp.zeros((d_out,))
+    else:
+        keys = jax.random.split(key, stack)
+        kernel = jnp.stack([xavier_uniform(k, (d_in, d_out)) for k in keys])
+        bias = jnp.zeros((stack, d_out))
+    return {"kernel": kernel, "bias": bias}
+
+
+def init_layernorm(dim: int, stack: Optional[int] = None) -> Params:
+    shape = (dim,) if stack is None else (stack, dim)
+    return {"scale": jnp.ones(shape), "bias": jnp.zeros(shape)}
+
+
+# ---------------------------------------------------------------------------
+# Forward primitives
+# ---------------------------------------------------------------------------
+
+def layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """LayerNorm with fp32 statistics regardless of compute dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def linear(x: jax.Array, p: Params) -> jax.Array:
+    kernel = p["kernel"].astype(x.dtype)
+    bias = p["bias"].astype(x.dtype)
+    return jnp.dot(x, kernel, preferred_element_type=x.dtype) + bias
+
+
+def mlp(x: jax.Array, p: Params) -> jax.Array:
+    """Transformer MLP: fc1 → GELU → fc2 (timm ``Mlp`` semantics, tanh-free erf GELU)."""
+    h = linear(x, p["fc1"])
+    h = jax.nn.gelu(h, approximate=False)
+    return linear(h, p["fc2"])
+
+
+def attention(
+    x: jax.Array,
+    p: Params,
+    num_heads: int,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Multi-head self-attention with fused QKV.
+
+    ``x``: (B, N, D).  QKV is one (D, 3D) matmul; scores/softmax run in fp32.
+    When ``use_pallas`` is set and the platform is TPU, the fused Pallas
+    kernel handles the (QK^T → softmax → V) stage.
+    """
+    B, N, D = x.shape
+    head_dim = D // num_heads
+    qkv = linear(x, p["qkv"])  # (B, N, 3D)
+    qkv = qkv.reshape(B, N, 3, num_heads, head_dim)
+    q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, H, hd)
+    q = jnp.swapaxes(q, 1, 2)  # (B, H, N, hd)
+    k = jnp.swapaxes(k, 1, 2)
+    v = jnp.swapaxes(v, 1, 2)
+
+    if use_pallas:
+        from ssl4polyp_tpu.ops.attention import fused_attention
+
+        out = fused_attention(q, k, v)
+    else:
+        scale = 1.0 / math.sqrt(head_dim)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        weights = jax.nn.softmax(scores * scale, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=x.dtype)
+
+    out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
+    return linear(out, p["proj"])
+
+
+# ---------------------------------------------------------------------------
+# Stacked transformer blocks
+# ---------------------------------------------------------------------------
+
+def init_blocks(key: jax.Array, depth: int, dim: int, mlp_ratio: float) -> Params:
+    """Initialise ``depth`` pre-norm transformer blocks, stacked on axis 0."""
+    hidden = int(dim * mlp_ratio)
+    k_qkv, k_proj, k_fc1, k_fc2 = jax.random.split(key, 4)
+    return {
+        "ln1": init_layernorm(dim, stack=depth),
+        "attn": {
+            "qkv": init_linear(k_qkv, dim, 3 * dim, stack=depth),
+            "proj": init_linear(k_proj, dim, dim, stack=depth),
+        },
+        "ln2": init_layernorm(dim, stack=depth),
+        "mlp": {
+            "fc1": init_linear(k_fc1, dim, hidden, stack=depth),
+            "fc2": init_linear(k_fc2, hidden, dim, stack=depth),
+        },
+    }
+
+
+def run_blocks(
+    x: jax.Array,
+    blocks: Params,
+    num_heads: int,
+    ln_eps: float = 1e-6,
+    use_pallas: bool = False,
+    remat: bool = False,
+) -> jax.Array:
+    """Apply the stacked pre-norm blocks with ``lax.scan``.
+
+    Equivalent computation to the reference's loop over ``timm`` Blocks
+    (``models_mae.py:166-168``) but compiled once for all depths.
+    """
+
+    def body(h, layer):
+        a = layernorm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], ln_eps)
+        h = h + attention(a, layer["attn"], num_heads, use_pallas=use_pallas)
+        m = layernorm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], ln_eps)
+        h = h + mlp(m, layer["mlp"])
+        return h, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    x, _ = jax.lax.scan(body, x, blocks)
+    return x
+
+
+def run_blocks_collect(
+    x: jax.Array,
+    blocks: Params,
+    num_heads: int,
+    ln_eps: float = 1e-6,
+    use_pallas: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Like :func:`run_blocks` but also stacks every block's output.
+
+    Used by dense-prediction decoders that tap intermediate feature maps
+    (reference taps blocks {2, 5, 8, 11} — ``models.py:124``).
+    Returns ``(final, stacked_outputs[depth, B, N, D])``.
+    """
+
+    def body(h, layer):
+        a = layernorm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], ln_eps)
+        h = h + attention(a, layer["attn"], num_heads, use_pallas=use_pallas)
+        m = layernorm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], ln_eps)
+        h = h + mlp(m, layer["mlp"])
+        return h, h
+
+    final, collected = jax.lax.scan(body, x, blocks)
+    return final, collected
