@@ -1,0 +1,177 @@
+"""Unlabeled image-folder dataset for MAE pretraining.
+
+Replaces the reference's ``torchvision.datasets.ImageFolder`` + DataLoader
+(``mae/main_pretrain.py:156-191``).  Recursively indexes image files and
+yields fixed-shape uint8 batches after a host-side RandomResizedCrop +
+deterministic per-(seed, epoch, index) parameterisation — so the exact data
+stream is a pure function of (seed, epoch), and resume needs no RNG
+snapshots.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["ImageFolderIndex", "PretrainLoader", "random_resized_crop"]
+
+_IMAGE_SUFFIXES = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+class ImageFolderIndex:
+    """Recursive index of image files under a root (ignores class labels)."""
+
+    def __init__(self, root: str | Path, no_train_dir: bool = False) -> None:
+        self.root = Path(root)
+        base = self.root
+        if not no_train_dir and (base / "train").is_dir():
+            base = base / "train"
+        self.paths: List[str] = sorted(
+            str(p) for p in base.rglob("*") if p.suffix.lower() in _IMAGE_SUFFIXES
+        )
+        if not self.paths:
+            raise FileNotFoundError(f"No images found under {base}")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+
+def random_resized_crop(
+    img,
+    rng: np.random.Generator,
+    out_size: int = 224,
+    scale: tuple[float, float] = (0.2, 1.0),
+    ratio: tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+):
+    """torchvision RandomResizedCrop semantics (10 tries then center fallback),
+    bicubic resize (reference ``main_pretrain.py:156-160``)."""
+    from PIL import Image
+
+    width, height = img.size
+    area = width * height
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = math.exp(rng.uniform(log_ratio[0], log_ratio[1]))
+        w = int(round(math.sqrt(target_area * aspect)))
+        h = int(round(math.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            x0 = int(rng.integers(0, width - w + 1))
+            y0 = int(rng.integers(0, height - h + 1))
+            crop = img.crop((x0, y0, x0 + w, y0 + h))
+            return crop.resize((out_size, out_size), Image.BICUBIC)
+    # Fallback: center crop at the closest valid aspect
+    in_ratio = width / height
+    if in_ratio < ratio[0]:
+        w, h = width, int(round(width / ratio[0]))
+    elif in_ratio > ratio[1]:
+        w, h = int(round(height * ratio[1])), height
+    else:
+        w, h = width, height
+    x0 = (width - w) // 2
+    y0 = (height - h) // 2
+    return img.crop((x0, y0, x0 + w, y0 + h)).resize((out_size, out_size), Image.BICUBIC)
+
+
+class PretrainLoader:
+    """Threaded loader yielding (B, S, S, 3) uint8 crops, deterministically."""
+
+    def __init__(
+        self,
+        index: ImageFolderIndex,
+        batch_size: int,
+        *,
+        image_size: int = 224,
+        seed: int = 0,
+        num_workers: int = 16,
+        prefetch_batches: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
+        drop_last: bool = True,
+    ) -> None:
+        self.index = index
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch_batches = prefetch_batches
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def _order(self) -> np.ndarray:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = rng.permutation(len(self.index))
+        if self.process_count > 1:
+            per = (len(order) + self.process_count - 1) // self.process_count
+            start = self.process_index * per
+            order = order[start : start + per]
+        return order
+
+    def __len__(self) -> int:
+        n = len(self._order())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _decode(self, position: int) -> np.ndarray:
+        from PIL import Image
+
+        # Crop parameters are a pure function of (seed, epoch, sample).
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch * 7_919 + position) % (2 ** 63)
+        )
+        with Image.open(self.index.paths[position]) as img:
+            rgb = img.convert("RGB")
+            crop = random_resized_crop(rgb, rng, out_size=self.image_size)
+            array = np.asarray(crop, dtype=np.uint8)
+        if rng.random() < 0.5:  # horizontal flip
+            array = array[:, ::-1]
+        return np.ascontiguousarray(array)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        order = self._order()
+        n_batches = len(self)
+        if n_batches == 0:
+            return
+        out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer() -> None:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        break
+                    chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    images = list(pool.map(self._decode, [int(p) for p in chunk]))
+                    if len(images) < self.batch_size:
+                        pad = self.batch_size - len(images)
+                        images.extend([images[-1]] * pad)
+                    out_queue.put(np.stack(images))
+            out_queue.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_queue.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            while thread.is_alive():
+                try:
+                    out_queue.get_nowait()
+                except queue.Empty:
+                    thread.join(timeout=0.1)

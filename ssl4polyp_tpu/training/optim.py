@@ -1,0 +1,194 @@
+"""AdamW with pytree-valued learning-rate and weight-decay scales.
+
+The reference expresses training policy through torch param groups:
+no-weight-decay on bias/norm (``main_pretrain.py:217``), head vs backbone
+learning rates (``train_classification.py:5751-5765``), and freeze regimes
+that toggle ``requires_grad`` (``finetune.py:49-91``).
+
+The functional equivalent here is a single AdamW whose per-leaf **scale
+trees** broadcast against the parameter shapes:
+
+* ``lr_scale`` — 0.0 freezes a leaf, any float rescales its LR.  Because
+  transformer blocks are stacked with a leading depth axis, "unfreeze only
+  the last N blocks" is a ``(depth, 1, ...)`` 0/1 array on the block leaves
+  (slice-level control no per-leaf mask system can express);
+* ``wd_scale`` — 0.0 exempts a leaf (bias/norm/cls_token/pos_embed).
+
+Semantics match ``torch.optim.AdamW``: decoupled weight decay scaled by the
+step learning rate; bias-corrected first/second moments; all optimizer math
+in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Any
+Tree = Any
+
+__all__ = [
+    "AdamWState",
+    "adamw_init",
+    "adamw_update",
+    "no_weight_decay_scales",
+    "finetune_lr_scales",
+    "clip_by_global_norm",
+    "global_norm",
+]
+
+
+class AdamWState(NamedTuple):
+    step: jax.Array  # int32 scalar
+    mu: Params
+    nu: Params
+
+
+def adamw_init(params: Params) -> AdamWState:
+    zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+    return AdamWState(step=jnp.zeros((), jnp.int32), mu=zeros,
+                      nu=jax.tree_util.tree_map(jnp.copy, zeros))
+
+
+def adamw_update(
+    params: Params,
+    grads: Params,
+    state: AdamWState,
+    *,
+    lr: jax.Array | float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    lr_scale: Optional[Tree] = None,
+    wd_scale: Optional[Tree] = None,
+) -> tuple[Params, AdamWState]:
+    """One AdamW step. ``lr_scale``/``wd_scale`` are pytrees matching
+    ``params``' structure whose leaves broadcast against each parameter."""
+    step = state.step + 1
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - b1 ** t
+    bc2 = 1.0 - b2 ** t
+
+    def leaf_update(p, g, mu, nu, ls, ws):
+        g32 = g.astype(jnp.float32)
+        p32 = p.astype(jnp.float32)
+        mu = b1 * mu + (1.0 - b1) * g32
+        nu = b2 * nu + (1.0 - b2) * jnp.square(g32)
+        m_hat = mu / bc1
+        n_hat = nu / bc2
+        step_dir = m_hat / (jnp.sqrt(n_hat) + eps) + weight_decay * ws * p32
+        new_p = p32 - lr * ls * step_dir
+        return new_p.astype(p.dtype), mu, nu
+
+    ones = jax.tree_util.tree_map(lambda _: 1.0, params)
+    ls_tree = lr_scale if lr_scale is not None else ones
+    ws_tree = wd_scale if wd_scale is not None else ones
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_mu = treedef.flatten_up_to(state.mu)
+    flat_nu = treedef.flatten_up_to(state.nu)
+    flat_ls = treedef.flatten_up_to(ls_tree)
+    flat_ws = treedef.flatten_up_to(ws_tree)
+
+    new_p, new_mu, new_nu = [], [], []
+    for p, g, mu, nu, ls, ws in zip(flat_p, flat_g, flat_mu, flat_nu, flat_ls, flat_ws):
+        np_, nmu, nnu = leaf_update(p, g, mu, nu, ls, ws)
+        new_p.append(np_)
+        new_mu.append(nmu)
+        new_nu.append(nnu)
+
+    return (
+        jax.tree_util.tree_unflatten(treedef, new_p),
+        AdamWState(
+            step=step,
+            mu=jax.tree_util.tree_unflatten(treedef, new_mu),
+            nu=jax.tree_util.tree_unflatten(treedef, new_nu),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale-tree builders
+# ---------------------------------------------------------------------------
+
+_NO_DECAY_LEAF_NAMES = {"bias", "scale", "cls_token", "pos_embed", "mask_token"}
+
+
+def no_weight_decay_scales(params: Params) -> Tree:
+    """0.0 on biases/norm scales/tokens/pos-embeds, 1.0 elsewhere.
+
+    Matches timm's no-WD grouping used by the reference MAE driver
+    (``main_pretrain.py:217-218``): 1-D tensors and tokens skip decay.
+    """
+
+    def walk(node, name):
+        if isinstance(node, dict):
+            return {key: walk(value, key) for key, value in node.items()}
+        if name in _NO_DECAY_LEAF_NAMES or getattr(node, "ndim", 0) <= 1:
+            return 0.0
+        return 1.0
+
+    return walk(params, "")
+
+
+def finetune_lr_scales(
+    params: Params,
+    mode: str,
+    depth: int,
+    head_scale: float = 1.0,
+    backbone_scale: float = 1.0,
+) -> Tree:
+    """Build the lr_scale tree implementing a fine-tune regime.
+
+    Modes (reference ``finetune.py:29-91``): ``full`` trains everything;
+    ``none`` trains only the head; ``head+1``/``head+2`` additionally train
+    the last 1/2 encoder blocks.  ``head_scale``/``backbone_scale`` carry
+    per-group learning rates (``train_classification.py:5751-5765``).
+    """
+    mode = (mode or "full").strip().lower()
+    if mode not in {"none", "full", "head+1", "head+2"}:
+        raise ValueError(f"Unsupported fine-tune mode {mode!r}")
+
+    tail = {"none": 0, "full": depth, "head+1": 1, "head+2": 2}[mode]
+    depth_gate = jnp.concatenate(
+        [jnp.zeros(depth - tail), jnp.ones(tail)]
+    )  # (depth,) 1.0 for trainable tail blocks
+
+    def block_scale(leaf):
+        gate = depth_gate.reshape((depth,) + (1,) * (leaf.ndim - 1))
+        return backbone_scale * gate
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {key: walk(value, path + (key,)) for key, value in node.items()}
+        if path and path[0] == "head":
+            return head_scale
+        if path and path[0] == "blocks":
+            if mode == "full":
+                return backbone_scale
+            return block_scale(node)
+        # Everything else (patch embed, cls token, pos embed, final norm)
+        # belongs to the backbone group and is trainable only in "full".
+        return backbone_scale if mode == "full" else 0.0
+
+    return walk(params, ())
+
+
+# ---------------------------------------------------------------------------
+# Gradient utilities
+# ---------------------------------------------------------------------------
+
+def global_norm(tree: Tree) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves))
+
+
+def clip_by_global_norm(grads: Tree, max_norm: float) -> tuple[Tree, jax.Array]:
+    norm = global_norm(grads)
+    factor = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    clipped = jax.tree_util.tree_map(lambda g: g * factor.astype(g.dtype), grads)
+    return clipped, norm

@@ -1,0 +1,351 @@
+"""MAE pretraining engine: pjit data-parallel, scan-accumulated, resumable.
+
+Capability parity with the reference driver + engine
+(``src/ssl4polyp/models/mae/main_pretrain.py`` / ``engine_pretrain.py``):
+
+* per-iteration warmup + half-cycle cosine LR with linear batch scaling
+  (lr = blr · eff_batch / 256);
+* AdamW(0.9, 0.95) with no weight decay on bias/norm/tokens;
+* gradient accumulation — a ``lax.scan`` over microbatches inside ONE
+  compiled step (the reference steps the optimizer every ``accum_iter``
+  python iterations);
+* bf16 compute (replacing CUDA AMP), fp32 master params and optimizer;
+* epoch checkpoints with retention (keep-last-K + every-N milestones),
+  ``last`` pointer, SIGTERM/SIGINT save-and-exit, auto-resume;
+* non-finite-loss abort and JSON epoch log lines.
+
+Distribution: params replicated, batch sharded along the mesh "data" axis;
+XLA inserts the gradient all-reduce over ICI (no DDP, no NCCL, no
+rendezvous).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import signal
+import sys
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ssl4polyp_tpu.data.augment import normalize_batch
+from ssl4polyp_tpu.data.folder import ImageFolderIndex, PretrainLoader
+from ssl4polyp_tpu.models.mae import MAEConfig, MAE_VIT_B16, init_mae, mae_forward
+from ssl4polyp_tpu.parallel.mesh import build_mesh
+from ssl4polyp_tpu.training import optim
+from ssl4polyp_tpu.training.schedules import warmup_cosine
+from ssl4polyp_tpu.utils.checkpoint import (
+    cleanup_checkpoints,
+    load_checkpoint,
+    save_checkpoint,
+    update_pointer,
+)
+from ssl4polyp_tpu.utils.logging import RunLogger, Throughput
+
+__all__ = ["PretrainSettings", "run_pretraining", "make_pretrain_step", "cli_main"]
+
+
+@dataclass
+class PretrainSettings:
+    data_root: str = ""
+    output_dir: str = "outputs/mae_pretrain"
+    model: str = "mae_vit_base_patch16"
+    epochs: int = 400
+    warmup_epochs: int = 40
+    batch_size: int = 64  # per accumulation microbatch, global across mesh
+    accum_iter: int = 1
+    blr: float = 1e-3
+    min_lr: float = 0.0
+    weight_decay: float = 0.05
+    mask_ratio: float = 0.75
+    norm_pix_loss: bool = False
+    seed: int = 0
+    image_size: int = 224
+    num_workers: int = 16
+    log_interval: int = 20
+    save_freq_epochs: int = 20
+    keep_last: int = 2
+    keep_every_n_epochs: Optional[int] = 100
+    no_train_dir: bool = False
+    precision: str = "bf16"  # bf16 | fp32
+    use_pallas_attention: bool = False
+    limit_steps_per_epoch: Optional[int] = None  # smoke runs
+    resume: Optional[str] = None  # "auto" | path | None
+
+    @property
+    def effective_batch(self) -> int:
+        return self.batch_size * self.accum_iter
+
+    @property
+    def absolute_lr(self) -> float:
+        # blr scaled by effective batch / 256 (reference main_pretrain.py:203-204)
+        return self.blr * self.effective_batch / 256.0
+
+
+def model_config(settings: PretrainSettings) -> MAEConfig:
+    presets = {
+        "mae_vit_base_patch16": MAE_VIT_B16,
+    }
+    if settings.model not in presets:
+        raise ValueError(f"Unknown model preset {settings.model!r}")
+    base = presets[settings.model]
+    compute = jnp.bfloat16 if settings.precision == "bf16" else jnp.float32
+    encoder = dataclasses.replace(
+        base.encoder,
+        img_size=settings.image_size,
+        compute_dtype=compute,
+        use_pallas_attention=settings.use_pallas_attention,
+    )
+    return dataclasses.replace(
+        base,
+        encoder=encoder,
+        mask_ratio=settings.mask_ratio,
+        norm_pix_loss=settings.norm_pix_loss,
+    )
+
+
+def make_pretrain_step(cfg: MAEConfig, mesh, accum_iter: int, weight_decay: float):
+    """Build the jitted train step.
+
+    Signature: ``(params, opt_state, images_u8, key, lr) → (params, opt_state,
+    metrics)`` where ``images_u8`` is (accum, B, H, W, 3) uint8 sharded along
+    "data" on the batch axis.
+    """
+    wd_scale = None  # built lazily from params structure on first call
+
+    def loss_fn(params, images_u8, key):
+        images = normalize_batch(images_u8, dtype=cfg.encoder.compute_dtype)
+        loss, _, _ = mae_forward(params, images, key, cfg)
+        return loss
+
+    def step_fn(params, opt_state, images_u8, key, lr, lr_scale, wd_scale):
+        def microbatch(carry, xs):
+            grads_acc, loss_acc = carry
+            micro_images, micro_key = xs
+            loss, grads = jax.value_and_grad(loss_fn)(params, micro_images, micro_key)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (grads_acc, loss_acc + loss), None
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params
+        )
+        keys = jax.random.split(key, accum_iter)
+        (grads, loss_sum), _ = jax.lax.scan(
+            microbatch, (zero_grads, jnp.zeros((), jnp.float32)), (images_u8, keys)
+        )
+        scale = 1.0 / accum_iter
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        loss = loss_sum * scale
+        grad_norm = optim.global_norm(grads)
+        params, opt_state = optim.adamw_update(
+            params,
+            grads,
+            opt_state,
+            lr=lr,
+            b1=0.9,
+            b2=0.95,
+            weight_decay=weight_decay,
+            lr_scale=lr_scale,
+            wd_scale=wd_scale,
+        )
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        return params, opt_state, metrics
+
+    replicated = NamedSharding(mesh, P())
+    data_sharded = NamedSharding(mesh, P(None, "data"))  # (accum, batch, ...)
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, replicated, data_sharded, replicated, replicated,
+                      replicated, replicated),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0, 1),
+    )
+
+
+def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
+    """Full pretraining loop; returns the final summary dict."""
+    mesh = mesh or build_mesh()
+    cfg = model_config(settings)
+    output_dir = Path(settings.output_dir)
+    ckpt_dir = output_dir / "ckpts"
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    logger = RunLogger(output_dir, "pretrain")
+
+    index = ImageFolderIndex(settings.data_root, no_train_dir=settings.no_train_dir)
+    loader = PretrainLoader(
+        index,
+        batch_size=settings.effective_batch,
+        image_size=settings.image_size,
+        seed=settings.seed,
+        num_workers=settings.num_workers,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    steps_per_epoch = len(loader)
+    if settings.limit_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, settings.limit_steps_per_epoch)
+    total_steps = steps_per_epoch * settings.epochs
+    schedule = warmup_cosine(
+        settings.absolute_lr,
+        total_steps,
+        settings.warmup_epochs * steps_per_epoch,
+        settings.min_lr,
+    )
+
+    root_key = jax.random.PRNGKey(settings.seed)
+    params = init_mae(jax.random.fold_in(root_key, 0), cfg)
+    opt_state = optim.adamw_init(params)
+    start_epoch = 0
+
+    # ---- resume --------------------------------------------------------
+    resume_path: Optional[Path] = None
+    if settings.resume == "auto":
+        candidates = sorted(ckpt_dir.glob("checkpoint-*.ckpt"))
+        if candidates:
+            resume_path = candidates[-1]
+    elif settings.resume:
+        resume_path = Path(settings.resume)
+    if resume_path is not None and resume_path.exists():
+        restored = load_checkpoint(resume_path)
+        params = jax.tree_util.tree_map(jnp.asarray, restored["payload"]["params"])
+        opt = restored["payload"]["opt"]
+        opt_state = optim.AdamWState(
+            step=jnp.asarray(opt["step"]),
+            mu=jax.tree_util.tree_map(jnp.asarray, opt["mu"]),
+            nu=jax.tree_util.tree_map(jnp.asarray, opt["nu"]),
+        )
+        start_epoch = int(restored["meta"].get("epoch", -1)) + 1
+        logger.text(f"Resumed from {resume_path} at epoch {start_epoch}")
+
+    lr_scale = jax.tree_util.tree_map(lambda _: 1.0, params)
+    wd_scale = optim.no_weight_decay_scales(params)
+    train_step = make_pretrain_step(cfg, mesh, settings.accum_iter, settings.weight_decay)
+
+    # ---- signal handling: save and exit --------------------------------
+    interrupted = {"flag": False}
+
+    def _handler(signum, frame):
+        interrupted["flag"] = True
+
+    old_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            old_handlers[sig] = signal.signal(sig, _handler)
+        except ValueError:
+            pass  # not in main thread
+
+    def save_epoch(epoch: int) -> Path:
+        payload = {
+            "params": params,
+            "opt": {"step": opt_state.step, "mu": opt_state.mu, "nu": opt_state.nu},
+        }
+        meta = {
+            "epoch": epoch,
+            "settings": dataclasses.asdict(settings),
+            "model": settings.model,
+        }
+        path = ckpt_dir / f"checkpoint-{epoch}.ckpt"
+        save_checkpoint(path, payload, meta)
+        update_pointer(ckpt_dir / "last.ckpt", path)
+        cleanup_checkpoints(
+            ckpt_dir,
+            keep_last=settings.keep_last,
+            keep_every_n_epochs=settings.keep_every_n_epochs,
+        )
+        return path
+
+    data_sharding = NamedSharding(mesh, P(None, "data"))
+    throughput = Throughput()
+    summary: Dict[str, Any] = {}
+    step_global = start_epoch * steps_per_epoch
+    accum = settings.accum_iter
+    micro = settings.effective_batch // accum
+
+    try:
+        for epoch in range(start_epoch, settings.epochs):
+            loader.set_epoch(epoch)
+            epoch_loss = 0.0
+            epoch_steps = 0
+            t0 = time.perf_counter()
+            for it, batch in enumerate(loader):
+                if it >= steps_per_epoch:
+                    break
+                lr = schedule(step_global)
+                shaped = batch.reshape(accum, micro, *batch.shape[1:])
+                device_batch = jax.device_put(shaped, data_sharding)
+                key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), it)
+                params, opt_state, metrics = train_step(
+                    params, opt_state, device_batch,
+                    key, jnp.float32(lr), lr_scale, wd_scale,
+                )
+                step_global += 1
+                epoch_steps += 1
+                if it % settings.log_interval == 0:
+                    loss_value = float(metrics["loss"])
+                    if not math.isfinite(loss_value):
+                        logger.text(f"FATAL: non-finite loss {loss_value} at step {step_global}")
+                        save_epoch(epoch)
+                        raise FloatingPointError(f"Loss is {loss_value}, stopping")
+                    epoch_loss += loss_value
+                    rate = throughput.tick(settings.effective_batch * settings.log_interval)
+                    logger.scalar("train/loss", loss_value, step_global)
+                    logger.scalar("train/lr", lr, step_global)
+                    logger.scalar("train/grad_norm", float(metrics["grad_norm"]), step_global)
+                    if rate:
+                        logger.scalar("train/images_per_sec", rate, step_global)
+                if interrupted["flag"]:
+                    logger.text("Signal received: checkpointing and exiting")
+                    save_epoch(epoch)
+                    return {"interrupted": True, "epoch": epoch}
+
+            mean_loss = epoch_loss / max(1, math.ceil(epoch_steps / settings.log_interval))
+            epoch_record = {
+                "epoch": epoch,
+                "train_loss": mean_loss,
+                "lr": schedule(step_global),
+                "epoch_time_s": time.perf_counter() - t0,
+            }
+            logger.json_line(epoch_record)
+            logger.text(f"epoch {epoch}: loss {mean_loss:.4f}")
+            if (epoch + 1) % settings.save_freq_epochs == 0 or epoch == settings.epochs - 1:
+                save_epoch(epoch)
+            summary = epoch_record
+    finally:
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
+        logger.close()
+
+    save_epoch(settings.epochs - 1)
+    return summary
+
+
+def cli_main(argv: Optional[list] = None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="MAE pretraining (TPU)")
+    for field in dataclasses.fields(PretrainSettings):
+        name = "--" + field.name.replace("_", "-")
+        if field.type == "bool" or isinstance(field.default, bool):
+            parser.add_argument(name, action="store_true", default=field.default)
+        else:
+            caster = str
+            if isinstance(field.default, (int, float)):
+                caster = type(field.default)
+            elif field.name in {"limit_steps_per_epoch", "keep_every_n_epochs"}:
+                caster = int
+            parser.add_argument(name, type=caster, default=field.default)
+    args = parser.parse_args(argv)
+    settings = PretrainSettings(**vars(args))
+    run_pretraining(settings)
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -1,0 +1,140 @@
+"""Optimizer and schedule tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssl4polyp_tpu.training import optim
+from ssl4polyp_tpu.training.schedules import EarlyStopper, PlateauScheduler, warmup_cosine
+
+
+def simple_params():
+    return {
+        "blocks": {"mlp": {"fc1": {"kernel": jnp.ones((3, 4, 4)), "bias": jnp.zeros((3, 4))}}},
+        "head": {"kernel": jnp.ones((4, 2)), "bias": jnp.zeros((2,))},
+        "cls_token": jnp.ones((1, 1, 4)),
+    }
+
+
+def ones_grads(params):
+    return jax.tree_util.tree_map(jnp.ones_like, params)
+
+
+def test_adamw_matches_torch():
+    """Single-tensor AdamW trajectory must match torch.optim.AdamW."""
+    torch = pytest.importorskip("torch")
+    w0 = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+    g = np.random.default_rng(1).normal(size=(4, 3)).astype(np.float32)
+
+    wt = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.AdamW([wt], lr=1e-2, betas=(0.9, 0.95), eps=1e-8, weight_decay=0.05)
+    for _ in range(5):
+        opt.zero_grad()
+        wt.grad = torch.tensor(g.copy())
+        opt.step()
+
+    params = {"w": jnp.asarray(w0)}
+    state = optim.adamw_init(params)
+    for _ in range(5):
+        params, state = optim.adamw_update(
+            params, {"w": jnp.asarray(g)}, state,
+            lr=1e-2, b1=0.9, b2=0.95, eps=1e-8, weight_decay=0.05,
+        )
+    np.testing.assert_allclose(np.asarray(params["w"]), wt.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_lr_scale_freezes_leaves():
+    params = simple_params()
+    state = optim.adamw_init(params)
+    scales = jax.tree_util.tree_map(lambda _: 1.0, params)
+    scales["head"] = {"kernel": 0.0, "bias": 0.0}
+    new_params, _ = optim.adamw_update(
+        params, ones_grads(params), state, lr=0.1, lr_scale=scales, weight_decay=0.1
+    )
+    np.testing.assert_array_equal(np.asarray(new_params["head"]["kernel"]), np.ones((4, 2)))
+    assert not np.array_equal(np.asarray(new_params["cls_token"]), np.ones((1, 1, 4)))
+
+
+def test_finetune_lr_scales_modes():
+    params = simple_params()
+    depth = 3
+    # none: only head trains
+    tree = optim.finetune_lr_scales(params, "none", depth)
+    assert tree["head"]["kernel"] == 1.0
+    assert tree["cls_token"] == 0.0
+    np.testing.assert_array_equal(
+        np.asarray(tree["blocks"]["mlp"]["fc1"]["kernel"]).ravel(), [0, 0, 0]
+    )
+    # head+1: last block only
+    tree = optim.finetune_lr_scales(params, "head+1", depth)
+    np.testing.assert_array_equal(
+        np.asarray(tree["blocks"]["mlp"]["fc1"]["kernel"]).ravel(), [0, 0, 1]
+    )
+    # head+2 with distinct group LRs
+    tree = optim.finetune_lr_scales(params, "head+2", depth, head_scale=1.0, backbone_scale=0.01)
+    np.testing.assert_allclose(
+        np.asarray(tree["blocks"]["mlp"]["fc1"]["kernel"]).ravel(), [0, 0.01, 0.01]
+    )
+    # full trains everything
+    tree = optim.finetune_lr_scales(params, "full", depth)
+    assert tree["cls_token"] == 1.0
+
+
+def test_finetune_scale_update_slices():
+    """head+1 must move only the last stacked block slice."""
+    params = simple_params()
+    state = optim.adamw_init(params)
+    scales = optim.finetune_lr_scales(params, "head+1", 3)
+    new_params, _ = optim.adamw_update(
+        params, ones_grads(params), state, lr=0.1, lr_scale=scales
+    )
+    kernel = np.asarray(new_params["blocks"]["mlp"]["fc1"]["kernel"])
+    np.testing.assert_array_equal(kernel[0], np.ones((4, 4)))  # frozen slice
+    np.testing.assert_array_equal(kernel[1], np.ones((4, 4)))
+    assert (kernel[2] < 1.0).all()  # trained slice moved
+
+
+def test_no_weight_decay_scales():
+    params = simple_params()
+    tree = optim.no_weight_decay_scales(params)
+    assert tree["head"]["bias"] == 0.0
+    assert tree["head"]["kernel"] == 1.0
+    assert tree["cls_token"] == 0.0
+    assert tree["blocks"]["mlp"]["fc1"]["kernel"] == 1.0
+
+
+def test_clip_by_global_norm():
+    grads = {"a": jnp.full((2, 2), 3.0), "b": jnp.full((2,), 4.0)}
+    clipped, norm = optim.clip_by_global_norm(grads, 1.0)
+    assert float(norm) == pytest.approx(np.sqrt(9 * 4 + 16 * 2), rel=1e-5)
+    assert float(optim.global_norm(clipped)) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_warmup_cosine_schedule():
+    sched = warmup_cosine(1.0, total_steps=100, warmup_steps=10, min_lr=0.1)
+    assert sched(0) == pytest.approx(0.1)
+    assert sched(9) == pytest.approx(1.0)
+    assert sched(10) == pytest.approx(1.0)
+    assert sched(99) == pytest.approx(0.1, abs=1e-2)
+    # monotone decreasing after warmup
+    values = [sched(s) for s in range(10, 100)]
+    assert all(a >= b for a, b in zip(values, values[1:]))
+
+
+def test_plateau_scheduler():
+    plateau = PlateauScheduler(factor=0.5, patience=1)
+    assert plateau.step(1.0) == 1.0
+    assert plateau.step(1.0) == 1.0  # first bad epoch
+    assert plateau.step(1.0) == 0.5  # patience exceeded
+    assert plateau.scale(2.0) == 1.0
+
+
+def test_early_stopper():
+    stopper = EarlyStopper(patience=2, min_delta=0.0, min_epochs=0)
+    assert not stopper.update(0, 1.0)
+    assert not stopper.update(1, 0.5)
+    assert not stopper.update(2, 0.6)
+    assert stopper.update(3, 0.7)  # two bad epochs
+    assert stopper.best == 0.5
+    assert stopper.best_epoch == 1
