@@ -50,15 +50,16 @@ def _as_jax(tree):
 
 
 def _vit_b(num_classes: Optional[int], out_token: str, pos_embed: str, **overrides) -> ViTConfig:
-    return ViTConfig(
+    kwargs = dict(
         embed_dim=768,
         depth=12,
         num_heads=12,
         pos_embed=pos_embed,
         num_classes=num_classes,
         out_token=out_token,
-        **overrides,
     )
+    kwargs.update(overrides)  # tests and variants may shrink/retune the config
+    return ViTConfig(**kwargs)
 
 
 def get_mae_backbone(

@@ -1,0 +1,1008 @@
+"""Classification fine-tuning engine (the reference monolith, re-designed).
+
+One pjit-compiled train step over a ("data", "model") mesh; host-side
+orchestration for thresholds, early stopping, checkpoint selection and
+artifact export.  Capability map to the reference
+(``src/ssl4polyp/classification/train_classification.py``):
+
+* ``build()``        → :func:`build_run` (datasets, model, scales, parent)
+* ``train_epoch()``  → the jitted ``train_step`` + :func:`_run_train_epoch`
+* ``test()``         → :mod:`ssl4polyp_tpu.evaluation.evaluate`
+* experiment rules   → :mod:`ssl4polyp_tpu.training.protocol` (RunPlan)
+* run naming         → :mod:`ssl4polyp_tpu.training.layout`
+* artifact schemas   → :mod:`ssl4polyp_tpu.evaluation.exports`
+
+Fine-tune regimes and per-group learning rates are lr-scale pytrees on a
+single AdamW (no param groups, no requires_grad mutation); multi-stage
+schedules (exp5c) swap the scale tree at stage boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import math
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ssl4polyp_tpu.configs import data_packs_root
+from ssl4polyp_tpu.configs.layered import load_layered_config
+from ssl4polyp_tpu.data.augment import augment_batch, normalize_batch
+from ssl4polyp_tpu.data.loader import HostDataLoader
+from ssl4polyp_tpu.data.packs import PackIndex, create_classification_datasets
+from ssl4polyp_tpu.evaluation import exports
+from ssl4polyp_tpu.evaluation.evaluate import binary_logit, evaluate_split
+from ssl4polyp_tpu.metrics import thresholds as th
+from ssl4polyp_tpu.metrics.threshold_store import canonical_threshold_path
+from ssl4polyp_tpu.models.factory import Classifier, build_classifier
+from ssl4polyp_tpu.parallel.mesh import build_mesh
+from ssl4polyp_tpu.training import optim
+from ssl4polyp_tpu.training.layout import RunLayout, format_selection_tag, resolve_run_layout
+from ssl4polyp_tpu.training.protocol import FinetuneStage, RunPlan
+from ssl4polyp_tpu.training.schedules import EarlyStopper, PlateauScheduler, warmup_cosine
+from ssl4polyp_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, update_pointer
+from ssl4polyp_tpu.utils.logging import RunLogger, Throughput
+
+__all__ = ["TrainContext", "build_run", "run_classification_training", "cli_main"]
+
+
+# ---------------------------------------------------------------------------
+# Parent run references (frozen-τ / canonical SUN init)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ParentRunReference:
+    checkpoint_path: Path
+    checkpoint_sha256: Optional[str] = None
+    metrics_path: Optional[Path] = None
+    metrics_sha256: Optional[str] = None
+    metrics_payload: Dict[str, Any] = field(default_factory=dict)
+
+    def provenance_block(self, base_dir: Optional[Path]) -> Dict[str, Any]:
+        def rel(path: Optional[Path]) -> Optional[str]:
+            if path is None:
+                return None
+            try:
+                return str(Path(path).resolve().relative_to(Path(base_dir).resolve()))
+            except Exception:
+                return str(path)
+
+        block: Dict[str, Any] = {"checkpoint": rel(self.checkpoint_path)}
+        if self.checkpoint_sha256:
+            block["checkpoint_sha256"] = self.checkpoint_sha256
+        if self.metrics_path:
+            block["metrics"] = {
+                "path": rel(self.metrics_path),
+                **({"sha256": self.metrics_sha256} if self.metrics_sha256 else {}),
+            }
+        return block
+
+
+def load_parent_reference(checkpoint_path: str | Path) -> ParentRunReference:
+    """Load a parent checkpoint + its sibling metrics payload."""
+    path = Path(checkpoint_path)
+    if not path.exists():
+        raise FileNotFoundError(f"Parent checkpoint not found: {path}")
+    sha = exports.sha256_file(path)
+    stem = path.with_suffix("")
+    metrics_candidates = [
+        Path(str(stem) + ".metrics.json"),
+        Path(str(stem) + "_last.metrics.json"),
+    ]
+    metrics_path = next((c for c in metrics_candidates if c.exists()), None)
+    payload: Dict[str, Any] = {}
+    metrics_sha = None
+    if metrics_path is not None:
+        payload = json.loads(metrics_path.read_text(encoding="utf-8"))
+        metrics_sha = exports.sha256_file(metrics_path)
+    else:
+        # thresholds may live in the checkpoint meta
+        try:
+            meta = load_checkpoint(path).get("meta", {})
+            if isinstance(meta.get("thresholds"), Mapping):
+                payload = {"thresholds": meta["thresholds"]}
+        except Exception:
+            payload = {}
+    return ParentRunReference(
+        checkpoint_path=path,
+        checkpoint_sha256=sha,
+        metrics_path=metrics_path,
+        metrics_sha256=metrics_sha,
+        metrics_payload=payload,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Build
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TrainContext:
+    plan: RunPlan
+    layout: RunLayout
+    mesh: Any
+    classifier: Classifier
+    params: Any
+    datasets: Dict[str, PackIndex]
+    dataset_summary: Dict[str, Dict[str, Any]]
+    class_counts: List[int]
+    class_weights: List[float]
+    pos_weight: float
+    loss_mode: str
+    parent_reference: Optional[ParentRunReference]
+    logger: RunLogger
+    num_classes: int = 2
+    eval_only: bool = False
+    exp_config_name: Optional[str] = None
+
+
+def _dataset_summary(datasets: Mapping[str, PackIndex]) -> Dict[str, Dict[str, Any]]:
+    summary: Dict[str, Dict[str, Any]] = {}
+    for alias, index in datasets.items():
+        entry = dict(index.provenance)
+        entry["n_frames"] = len(index)
+        summary[alias] = entry
+    return summary
+
+
+def build_run(
+    plan: RunPlan,
+    *,
+    output_dir: str | Path,
+    mesh=None,
+    pack_root: Optional[Path] = None,
+    roots_map: Optional[Mapping[str, str]] = None,
+    checkpoint_root: Optional[Path] = None,
+    exp_config_name: Optional[str] = None,
+    num_classes: int = 2,
+    check_exists: bool = True,
+    model_overrides: Optional[Mapping[str, Any]] = None,
+) -> TrainContext:
+    mesh = mesh or build_mesh()
+    layout = resolve_run_layout(
+        output_dir=output_dir,
+        model_tag=plan.model_tag,
+        dataset_cfg=plan.dataset_cfg,
+        dataset_resolved=plan.dataset_resolved,
+        seed=plan.seed,
+        parent_checkpoint=plan.parent_checkpoint,
+        init_from=plan.init_from,
+    )
+    layout.output_dir.mkdir(parents=True, exist_ok=True)
+    logger = RunLogger(layout.output_dir, layout.stem)
+
+    resolved = plan.dataset_resolved
+    datasets = create_classification_datasets(
+        train_spec=resolved.get("train_pack"),
+        val_spec=resolved.get("val_pack"),
+        test_spec=resolved.get("test_pack"),
+        train_split=resolved.get("train_split") or "train",
+        val_split=resolved.get("val_split") or "val",
+        test_split=resolved.get("test_split") or "test",
+        pack_root=pack_root,
+        roots_map=roots_map,
+        image_size=plan.image_size,
+        perturbation_splits=plan.perturbation_splits,
+        snapshot_dir=layout.output_dir / "snapshot",
+        check_exists=check_exists,
+    )
+
+    # class statistics from the train split (reference :5613-5630)
+    train_index = datasets.get("train")
+    if train_index is not None and train_index.labels is not None:
+        counts = train_index.class_counts(num_classes).tolist()
+        total = sum(counts)
+        class_weights = [
+            (total / (num_classes * c)) if c > 0 else 0.0 for c in counts
+        ]
+    else:
+        counts = [0] * num_classes
+        class_weights = [1.0] * num_classes
+
+    if num_classes == 2:
+        loss_mode = "binary_bce"
+        neg, pos = float(counts[0]), float(counts[1])
+        pos_weight = (neg / pos) if pos > 0 else 1.0
+    else:
+        loss_mode = "multiclass_ce"
+        pos_weight = 1.0
+
+    compute = jnp.bfloat16 if plan.precision == "bf16" else jnp.float32
+    overrides: Dict[str, Any] = {"compute_dtype": compute, "img_size": plan.image_size}
+    if model_overrides:
+        overrides.update(model_overrides)
+    classifier = build_classifier(
+        jax.random.PRNGKey(plan.seed),
+        plan.model_cfg,
+        num_classes=num_classes,
+        checkpoint_root=checkpoint_root,
+        **overrides,
+    )
+    params = classifier.params
+
+    parent_reference: Optional[ParentRunReference] = None
+    if plan.parent_checkpoint:
+        parent_reference = load_parent_reference(plan.parent_checkpoint)
+        restored = load_checkpoint(parent_reference.checkpoint_path)
+        parent_params = restored["payload"].get("params")
+        if parent_params is None:
+            raise ValueError(
+                f"Parent checkpoint {parent_reference.checkpoint_path} lacks params"
+            )
+        params = jax.tree_util.tree_map(jnp.asarray, parent_params)
+
+    eval_only = datasets.get("train") is None
+
+    return TrainContext(
+        plan=plan,
+        layout=layout,
+        mesh=mesh,
+        classifier=classifier,
+        params=params,
+        datasets=datasets,
+        dataset_summary=_dataset_summary(datasets),
+        class_counts=counts,
+        class_weights=class_weights,
+        pos_weight=pos_weight,
+        loss_mode=loss_mode,
+        parent_reference=parent_reference,
+        logger=logger,
+        num_classes=num_classes,
+        eval_only=eval_only,
+        exp_config_name=exp_config_name,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jitted steps
+# ---------------------------------------------------------------------------
+
+def _loss_from_logits(logits, labels, valid, loss_mode, pos_weight, class_weights):
+    logits = logits.astype(jnp.float32)
+    valid_f = valid.astype(jnp.float32)
+    if loss_mode == "binary_bce":
+        z = logits[:, 1] - logits[:, 0] if logits.shape[-1] == 2 else logits[:, 0]
+        y = labels.astype(jnp.float32)
+        log_sig = -jnp.logaddexp(0.0, -z)
+        log_1m = -jnp.logaddexp(0.0, z)
+        per = -(pos_weight * y * log_sig + (1.0 - y) * log_1m)
+    else:
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        picked = jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
+        weights = jnp.asarray(class_weights)[labels]
+        per = -picked * weights
+    return jnp.sum(per * valid_f) / jnp.maximum(jnp.sum(valid_f), 1.0)
+
+
+def make_train_step(ctx: TrainContext):
+    cfg = ctx.classifier.cfg
+    loss_mode = ctx.loss_mode
+    pos_weight = ctx.pos_weight
+    class_weights = tuple(ctx.class_weights)
+    weight_decay = ctx.plan.weight_decay
+    apply_fn = ctx.classifier.apply
+
+    def step(params, opt_state, images_u8, labels, valid, key, lr, lr_scale, wd_scale):
+        def loss_fn(p):
+            images = augment_batch(images_u8, key, dtype=cfg.compute_dtype)
+            logits = apply_fn(p, images)
+            return _loss_from_logits(
+                logits, labels, valid, loss_mode, pos_weight, class_weights
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grad_norm = optim.global_norm(grads)
+        params, opt_state = optim.adamw_update(
+            params, grads, opt_state,
+            lr=lr, weight_decay=weight_decay,
+            lr_scale=lr_scale, wd_scale=wd_scale,
+        )
+        return params, opt_state, {"loss": loss, "grad_norm": grad_norm}
+
+    replicated = NamedSharding(ctx.mesh, P())
+    sharded = NamedSharding(ctx.mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(replicated, replicated, sharded, sharded, sharded,
+                      replicated, replicated, replicated, replicated),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_forward_fn(ctx: TrainContext):
+    cfg = ctx.classifier.cfg
+    apply_fn = ctx.classifier.apply
+    replicated = NamedSharding(ctx.mesh, P())
+    sharded = NamedSharding(ctx.mesh, P("data"))
+
+    @jax.jit
+    def forward(params, images_u8):
+        images = normalize_batch(images_u8, dtype=cfg.compute_dtype)
+        return apply_fn(params, images).astype(jnp.float32)
+
+    def run(params):
+        def fn(images_u8):
+            device_batch = jax.device_put(np.asarray(images_u8), sharded)
+            return np.asarray(forward(params, device_batch))
+
+        return fn
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Fine-tune schedule runtime
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ScheduleRuntime:
+    """Applies multi-stage fine-tune schedules at epoch boundaries
+    (reference ``FinetuneScheduleRuntime`` — ``train_classification.py:
+    860-954``)."""
+
+    stages: Tuple[FinetuneStage, ...]
+    base_lr: float
+    depth: int
+
+    def stage_at(self, epoch: int) -> Optional[FinetuneStage]:
+        if not self.stages:
+            return None
+        boundary = 0
+        for stage in self.stages:
+            boundary += stage.epochs
+            if epoch < boundary:
+                return stage
+        return self.stages[-1]
+
+    def lr_and_scales(self, params, epoch: int, default_mode: str):
+        stage = self.stage_at(epoch)
+        if stage is None:
+            scales = optim.finetune_lr_scales(params, default_mode, self.depth)
+            return self.base_lr, scales, default_mode, None
+        head_lr = stage.head_lr if stage.head_lr is not None else self.base_lr
+        backbone_scale = 1.0
+        if stage.backbone_lr is not None and head_lr > 0:
+            backbone_scale = stage.backbone_lr / head_lr
+        scales = optim.finetune_lr_scales(
+            params, stage.mode, self.depth,
+            head_scale=1.0, backbone_scale=backbone_scale,
+        )
+        return head_lr, scales, stage.mode, stage.name
+
+
+# ---------------------------------------------------------------------------
+# Threshold runtime
+# ---------------------------------------------------------------------------
+
+def _resolve_policy_tau(
+    ctx: TrainContext,
+    policy: Optional[str],
+    val_results: Optional[Mapping[str, Any]],
+    epoch: int,
+    previous_tau: Optional[float],
+    val_split_path: Optional[str],
+) -> Tuple[Optional[float], Optional[Dict[str, Any]]]:
+    if not policy or policy == "none":
+        return None, None
+    if policy == "sun_val_frozen":
+        if ctx.parent_reference is None or not ctx.parent_reference.metrics_payload:
+            raise ValueError(
+                "Policy 'sun_val_frozen' requires a parent run providing thresholds."
+            )
+        tau, record = th.resolve_frozen_sun_threshold(
+            ctx.parent_reference.metrics_payload.get("thresholds") or {},
+            source_key="primary",
+            expected_split_substring="sun_full/val",
+            checkpoint_path=ctx.parent_reference.checkpoint_path,
+        )
+        return tau, record
+    if val_results is None:
+        return previous_tau, None
+    result = th.compute_policy_threshold(
+        val_results["probabilities"],
+        val_results["targets"],
+        policy=policy,
+        split_name=val_split_path or "val",
+        epoch=epoch,
+        previous_tau=previous_tau,
+    )
+    return result.tau, dict(result.record)
+
+
+# ---------------------------------------------------------------------------
+# Main loop
+# ---------------------------------------------------------------------------
+
+def run_classification_training(
+    ctx: TrainContext,
+    thresholds_root: Optional[Path] = None,
+) -> Dict[str, Any]:
+    plan = ctx.plan
+    layout = ctx.layout
+    logger = ctx.logger
+    mesh = ctx.mesh
+    num_devices = mesh.devices.size
+
+    # Config snapshot (reference writes config.yaml + git commit per run)
+    snapshot = {
+        "plan": {
+            key: (str(value) if isinstance(value, Path) else value)
+            for key, value in dataclasses.asdict(plan).items()
+            if not key.startswith("_") and key != "dataset_layout"
+        },
+        "stem": layout.stem,
+    }
+    (layout.output_dir / f"{layout.stem}.config.yaml").write_text(
+        yaml.safe_dump(json.loads(json.dumps(snapshot, default=str))), encoding="utf-8"
+    )
+
+    val_split_path: Optional[str] = None
+    data_block = exports.build_data_block(ctx.dataset_summary)
+    if "val" in data_block:
+        val_split_path = data_block["val"]["path"]
+
+    selection_tag = format_selection_tag(plan.early_stop_monitor)
+    monitor_name = plan.early_stop_monitor or "val_loss"
+    monitor_key = monitor_name.split("_", 1)[1] if "_" in monitor_name else monitor_name
+    monitor_mode = plan.early_stop_mode or (
+        "max" if any(tok in monitor_key for tok in ("auroc", "auprc", "f1", "acc")) else "min"
+    )
+
+    forward_factory = make_forward_fn(ctx)
+    dataset_name = plan.dataset_layout.name
+
+    thresholds_map: Dict[str, float] = {}
+    primary_record: Optional[Dict[str, Any]] = None
+    sensitivity_record: Optional[Dict[str, Any]] = None
+    primary_tau: Optional[float] = None
+    sensitivity_tau: Optional[float] = None
+    threshold_key = None
+    sensitivity_threshold_key = None
+
+    def eval_split_now(alias: str, params, tau: Optional[float], limit: Optional[int]):
+        index = ctx.datasets[alias]
+        loader = HostDataLoader(
+            index, batch_size=plan.batch_size, shuffle=False,
+            num_workers=plan.num_workers, drop_last=False,
+        )
+        return evaluate_split(
+            forward_factory(params),
+            loader,
+            index,
+            split_name=alias,
+            num_classes=ctx.num_classes,
+            tau=tau,
+            loss_mode=ctx.loss_mode,
+            pos_weight=ctx.pos_weight,
+            class_weights=ctx.class_weights,
+            limit_batches=limit,
+            morphology_eval=plan.morphology_eval or None,
+            perturbation_eval=index.perturbations_enabled
+            or dataset_name == "sun_test_perturbations",
+        )
+
+    run_mode = "train"
+    if ctx.eval_only:
+        run_mode = "eval"
+    elif plan.finetune_mode == "none" and not plan.finetune_schedule and plan.is_exp5a:
+        run_mode = "inference"
+
+    summary: Dict[str, Any] = {}
+    params = ctx.params
+    zero_shot_block: Optional[Dict[str, Any]] = None
+    zero_shot_outputs: Optional[Path] = None
+
+    # ---------------- zero-shot pre-finetune inference (exp5c :291-426) ----
+    if (
+        not ctx.eval_only
+        and ctx.parent_reference is not None
+        and plan.threshold_policy == "sun_val_frozen"
+        and dataset_name.startswith("polypgen_fewshot")
+        and "test" in ctx.datasets
+    ):
+        tau0, record0 = _resolve_policy_tau(ctx, "sun_val_frozen", None, -1, None, val_split_path)
+        zs = eval_split_now("test", params, tau0, plan.limit_test_batches)
+        zero_shot_outputs = layout.output_dir / f"{layout.stem}_zeroshot_outputs.csv"
+        exports.export_frame_outputs(
+            zero_shot_outputs,
+            metadata_rows=zs["metadata_rows"],
+            probabilities=zs["probabilities"],
+            targets=zs["targets"],
+            preds=zs["preds"],
+            dataset_name=dataset_name,
+        )
+        zero_shot_block = {
+            "tau": tau0,
+            "metrics": exports.metric_block_for_export(zs),
+            "outputs_csv": zero_shot_outputs.name,
+            "outputs_csv_sha256": exports.sha256_file(zero_shot_outputs),
+        }
+        logger.text(
+            f"zero-shot: AUROC {zs.get('auroc', float('nan')):.4f} at frozen tau {tau0}"
+        )
+
+    best_checkpoint_path: Optional[Path] = None
+    best_monitor: Optional[float] = None
+    last_epoch = -1
+    train_loss_last: Optional[float] = None
+    val_results: Optional[Dict[str, Any]] = None
+    epochs_run = 0
+
+    if not ctx.eval_only:
+        train_index = ctx.datasets["train"]
+        train_loader = HostDataLoader(
+            train_index, batch_size=plan.batch_size, seed=plan.seed,
+            num_workers=plan.num_workers,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        steps_per_epoch = len(train_loader)
+        if plan.limit_train_batches:
+            steps_per_epoch = min(steps_per_epoch, plan.limit_train_batches)
+        total_steps = max(1, steps_per_epoch * plan.epochs)
+        if plan.scheduler == "cosine":
+            schedule = warmup_cosine(
+                plan.lr, total_steps, plan.warmup_epochs * steps_per_epoch, plan.min_lr
+            )
+        else:
+            schedule = lambda step: plan.lr  # noqa: E731
+        plateau = (
+            PlateauScheduler(
+                factor=plan.scheduler_factor, patience=plan.scheduler_patience,
+                mode=monitor_mode, min_lr=plan.min_lr,
+            )
+            if plan.scheduler == "plateau"
+            else None
+        )
+        stopper = EarlyStopper(
+            patience=plan.early_stop_patience,
+            min_delta=plan.early_stop_min_delta,
+            min_epochs=plan.early_stop_min_epochs,
+            mode=monitor_mode,
+        )
+
+        depth = ctx.classifier.cfg.depth
+        schedule_runtime = ScheduleRuntime(plan.finetune_schedule, plan.lr, depth)
+        wd_scale = optim.no_weight_decay_scales(params)
+        train_step = make_train_step(ctx)
+        sharded = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        params = jax.device_put(params, replicated)
+        opt_state = jax.device_put(optim.adamw_init(params), replicated)
+        root_key = jax.random.PRNGKey(plan.seed)
+        throughput = Throughput()
+        global_step = 0
+        current_mode = plan.finetune_mode
+        stage_lr, lr_scale, current_mode, stage_name = schedule_runtime.lr_and_scales(
+            params, 0, plan.finetune_mode
+        )
+        no_improve = 0
+
+        for epoch in range(plan.epochs):
+            new_lr, new_scale, new_mode, new_stage = schedule_runtime.lr_and_scales(
+                params, epoch, plan.finetune_mode
+            )
+            if new_mode != current_mode or new_stage != stage_name:
+                logger.text(
+                    f"finetune schedule: entering stage {new_stage!r} (mode {new_mode}) at epoch {epoch}"
+                )
+            stage_lr, lr_scale, current_mode, stage_name = (
+                new_lr, new_scale, new_mode, new_stage,
+            )
+
+            train_loader.set_epoch(epoch)
+            losses = []
+            epoch_t0 = time.perf_counter()
+            for it, batch in enumerate(train_loader):
+                if it >= steps_per_epoch:
+                    break
+                if plan.finetune_schedule:
+                    lr = stage_lr
+                elif plan.scheduler == "cosine":
+                    lr = schedule(global_step)
+                elif plateau is not None:
+                    lr = plateau.scale(stage_lr)
+                else:
+                    lr = stage_lr
+                key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), it)
+                params, opt_state, metrics = train_step(
+                    params,
+                    opt_state,
+                    jax.device_put(batch["image"], sharded),
+                    jax.device_put(batch["label"], sharded),
+                    jax.device_put(batch["valid"], sharded),
+                    key, jnp.float32(lr), lr_scale, wd_scale,
+                )
+                global_step += 1
+                if it % plan.log_interval == 0:
+                    loss_value = float(metrics["loss"])
+                    if not math.isfinite(loss_value):
+                        raise FloatingPointError(f"non-finite loss at step {global_step}")
+                    losses.append(loss_value)
+                    rate = throughput.tick(plan.batch_size * plan.log_interval)
+                    logger.scalar("train/loss", loss_value, global_step)
+                    logger.scalar("train/lr", lr, global_step)
+                    logger.scalar("train/grad_norm", float(metrics["grad_norm"]), global_step)
+                    if rate:
+                        logger.scalar("train/images_per_sec", rate, global_step)
+
+            train_loss_last = float(np.mean(losses)) if losses else float("nan")
+            epochs_run = epoch + 1
+            last_epoch = epoch
+
+            # ---- validation -------------------------------------------------
+            val_results = None
+            monitor_value = train_loss_last
+            if "val" in ctx.datasets:
+                val_results = eval_split_now("val", params, primary_tau, plan.limit_val_batches)
+                primary_tau, primary_record = _resolve_policy_tau(
+                    ctx, plan.threshold_policy, val_results, epoch, primary_tau, val_split_path
+                )
+                if plan.sensitivity_threshold_policy:
+                    sensitivity_tau, sensitivity_record = _resolve_policy_tau(
+                        ctx, plan.sensitivity_threshold_policy, val_results, epoch,
+                        sensitivity_tau, val_split_path,
+                    )
+                monitor_value = float(val_results.get(monitor_key, val_results["loss"]))
+                logger.scalars(
+                    {k: v for k, v in val_results.items()
+                     if isinstance(v, (int, float)) and not k.startswith("_")},
+                    epoch, prefix="val/",
+                )
+                logger.text(
+                    f"epoch {epoch}: train_loss {train_loss_last:.4f} "
+                    f"val_loss {val_results['loss']:.4f} "
+                    f"val_auroc {val_results.get('auroc', float('nan')):.4f} "
+                    f"tau {primary_tau if primary_tau is not None else 'n/a'}"
+                )
+            if plateau is not None:
+                plateau.step(monitor_value)
+
+            if plan.threshold_policy and plan.threshold_policy != "none" and primary_tau is not None:
+                threshold_key = th.format_threshold_key(
+                    dataset_name, plan.dataset_resolved.get("val_split") or "val",
+                    plan.threshold_policy,
+                )
+                thresholds_map[threshold_key] = float(primary_tau)
+            if plan.sensitivity_threshold_policy and sensitivity_tau is not None:
+                sensitivity_threshold_key = th.format_threshold_key(
+                    dataset_name, plan.dataset_resolved.get("val_split") or "val",
+                    plan.sensitivity_threshold_policy,
+                )
+                thresholds_map[sensitivity_threshold_key] = float(sensitivity_tau)
+
+            # ---- checkpoint on improvement ---------------------------------
+            improved = (
+                best_monitor is None
+                or (monitor_mode == "min" and monitor_value < best_monitor - plan.early_stop_min_delta)
+                or (monitor_mode == "max" and monitor_value > best_monitor + plan.early_stop_min_delta)
+            )
+            if improved:
+                best_monitor = monitor_value
+                ckpt_name = f"{layout.stem}_e{epoch:02d}_{selection_tag}.ckpt"
+                best_checkpoint_path = layout.output_dir / ckpt_name
+                meta = {
+                    "epoch": epoch,
+                    "monitor_metric": monitor_name,
+                    "monitor_value": monitor_value,
+                    "seed": plan.seed,
+                    "stem": layout.stem,
+                    "thresholds": exports.build_thresholds_block(
+                        thresholds_map,
+                        policy=plan.threshold_policy,
+                        primary=primary_record,
+                        sensitivity=sensitivity_record,
+                    ),
+                }
+                save_checkpoint(
+                    best_checkpoint_path,
+                    {
+                        "params": params,
+                        "opt": {"step": opt_state.step, "mu": opt_state.mu, "nu": opt_state.nu},
+                    },
+                    meta,
+                )
+                update_pointer(layout.checkpoint_path, best_checkpoint_path)
+                no_improve = 0
+            else:
+                no_improve += 1
+
+            if stopper.update(epoch, monitor_value):
+                logger.text(
+                    f"early stopping at epoch {epoch} "
+                    f"(best {monitor_name}={stopper.best} @ epoch {stopper.best_epoch})"
+                )
+                break
+
+        # reload best checkpoint for the final test (reference :7380-7414)
+        if best_checkpoint_path is not None and best_checkpoint_path.exists():
+            restored = load_checkpoint(best_checkpoint_path)
+            params = jax.tree_util.tree_map(jnp.asarray, restored["payload"]["params"])
+            meta = restored.get("meta", {})
+            logger.text(
+                f"reloaded best checkpoint {best_checkpoint_path.name} "
+                f"({monitor_name}={meta.get('monitor_value')})"
+            )
+    else:
+        # eval-only runs (exp5a/5b): frozen τ from the parent
+        primary_tau, primary_record = _resolve_policy_tau(
+            ctx, plan.threshold_policy, None, -1, None, val_split_path
+        )
+        if plan.threshold_policy and primary_tau is not None:
+            threshold_key = th.format_threshold_key(
+                dataset_name, plan.dataset_resolved.get("val_split") or "val",
+                plan.threshold_policy,
+            )
+            thresholds_map[threshold_key] = float(primary_tau)
+        if plan.sensitivity_threshold_policy == "sun_val_frozen":
+            sensitivity_tau, sensitivity_record = primary_tau, dict(primary_record or {})
+
+    # ---------------- final test -------------------------------------------
+    test_results: Optional[Dict[str, Any]] = None
+    curve_metadata: Optional[Dict[str, Any]] = None
+    outputs_csv_path: Optional[Path] = None
+    if "test" in ctx.datasets:
+        test_results = eval_split_now("test", params, primary_tau, plan.limit_test_batches)
+        outputs_csv_path = layout.output_dir / f"{layout.stem}_test_outputs.csv"
+        exports.export_frame_outputs(
+            outputs_csv_path,
+            metadata_rows=test_results["metadata_rows"],
+            probabilities=test_results["probabilities"],
+            targets=test_results["targets"],
+            preds=test_results["preds"],
+            dataset_name=dataset_name,
+        )
+        if "test" in plan.curve_export_splits:
+            curve_metadata = exports.export_curve_sets(
+                layout.output_dir / layout.stem,
+                "test",
+                probabilities=test_results["probabilities"],
+                targets=test_results["targets"],
+                grid_points=plan.curve_export_splits["test"]["points"],
+            )
+        logger.text(
+            f"test: AUROC {test_results.get('auroc', float('nan')):.4f} "
+            f"F1 {test_results.get('f1', float('nan')):.4f} at tau {primary_tau}"
+        )
+
+    # ---------------- sensitivity block at test -----------------------------
+    test_sensitivity_block = None
+    if test_results is not None and sensitivity_tau is not None:
+        from ssl4polyp_tpu.metrics.performance import binary_metrics_block
+
+        test_sensitivity_block = binary_metrics_block(
+            test_results["probabilities"], test_results["targets"],
+            tau=sensitivity_tau, loss=test_results.get("loss"),
+        )
+
+    # align threshold record splits with data.val.path (reference :7533-7546)
+    if primary_record is not None and val_split_path and primary_record.get("policy") != "sun_val_frozen":
+        primary_record["split"] = val_split_path
+    if sensitivity_record is not None and val_split_path and sensitivity_record.get("policy") != "sun_val_frozen":
+        sensitivity_record["split"] = val_split_path
+
+    # persist thresholds to the canonical store
+    threshold_file_rel = None
+    if thresholds_map and thresholds_root is not None:
+        store_path = canonical_threshold_path(
+            thresholds_root,
+            val_pack=plan.dataset_resolved.get("val_pack"),
+            model_tag=plan.model_tag,
+            arch=plan.model_cfg.get("arch"),
+            pretraining=plan.model_cfg.get("pretraining"),
+            train_pack=plan.dataset_resolved.get("train_pack"),
+            seed=plan.seed,
+            policy=plan.threshold_policy,
+        )
+        th.save_thresholds(store_path, thresholds_map)
+        threshold_file_rel = str(store_path)
+
+    # ---------------- metrics.json -------------------------------------------
+    run_block = exports.build_run_block(
+        experiment=plan.experiment,
+        experiment_config=ctx.exp_config_name,
+        stem=layout.stem,
+        model=plan.model_tag,
+        arch=plan.model_cfg.get("arch"),
+        pretraining=plan.model_cfg.get("pretraining"),
+        finetune_mode=plan.finetune_mode,
+        selection=selection_tag,
+        seed=plan.seed,
+        mode=run_mode,
+        world_size=num_devices,
+    )
+    provenance_block = exports.build_provenance_block(
+        model=plan.model_key or plan.model_tag,
+        arch=plan.model_cfg.get("arch"),
+        train_seed=plan.seed,
+        dataset_summary=ctx.dataset_summary,
+        test_outputs_csv=outputs_csv_path.name if outputs_csv_path else None,
+        test_outputs_sha256=exports.sha256_file(outputs_csv_path) if outputs_csv_path else None,
+        zero_shot_outputs_csv=zero_shot_outputs.name if zero_shot_outputs else None,
+        zero_shot_outputs_sha256=(
+            exports.sha256_file(zero_shot_outputs) if zero_shot_outputs else None
+        ),
+        subset_percent=plan.dataset_layout.percent,
+        pack_seed=plan.dataset_layout.dataset_seed,
+        fewshot_budget=plan.dataset_layout.size,
+        test_split=plan.dataset_resolved.get("test_split"),
+        parent_run=(
+            ctx.parent_reference.provenance_block(layout.base_dir)
+            if ctx.parent_reference
+            else None
+        ),
+    )
+    thresholds_block = exports.build_thresholds_block(
+        thresholds_map,
+        policy=plan.threshold_policy,
+        primary=primary_record,
+        sensitivity=sensitivity_record,
+        sources={"val": threshold_key or "", "test": threshold_key or ""},
+    )
+
+    payload: Dict[str, Any] = {
+        "seed": plan.seed,
+        "epoch": int(last_epoch),
+        "train_loss": train_loss_last,
+        "monitor_metric": monitor_name,
+        "monitor_value": best_monitor,
+        "run": run_block,
+        "provenance": provenance_block,
+        "data": data_block,
+        "thresholds": thresholds_block,
+        "threshold_policy": plan.threshold_policy,
+    }
+    if ctx.eval_only:
+        payload["eval_only"] = True
+    if val_results is not None:
+        payload["val"] = exports.metric_block_for_export(val_results)
+    if test_results is not None:
+        payload["test_primary"] = exports.metric_block_for_export(test_results)
+        if "morphology_metrics" in test_results:
+            payload["test_morphology"] = {
+                key: exports.metric_block_for_export(value)
+                for key, value in test_results["morphology_metrics"].items()
+            }
+        if "perturbation_metrics" in test_results:
+            block: Dict[str, Any] = {
+                "per_tag": {
+                    tag: exports.metric_block_for_export(stats)
+                    for tag, stats in sorted(test_results["perturbation_metrics"].items())
+                }
+            }
+            if "perturbation_case_metrics" in test_results:
+                block["per_case"] = test_results["perturbation_case_metrics"]
+            payload["test_perturbations"] = block
+    if test_sensitivity_block is not None:
+        payload["test_sensitivity"] = exports.metric_block_for_export(test_sensitivity_block)
+    if curve_metadata is not None:
+        payload["curve_exports"] = {
+            "test": {
+                "path": curve_metadata["path"],
+                "sha256": curve_metadata["sha256"],
+                "metadata": {
+                    "points": curve_metadata["points"],
+                    "roc_csv": curve_metadata["roc_csv"],
+                    "pr_csv": curve_metadata["pr_csv"],
+                },
+            }
+        }
+    if zero_shot_block is not None:
+        payload["zero_shot"] = zero_shot_block
+    if threshold_file_rel and threshold_key:
+        payload["threshold_files"] = {threshold_key: threshold_file_rel}
+    if plan.sensitivity_threshold_policy:
+        payload["sensitivity_threshold_policy"] = plan.sensitivity_threshold_policy
+
+    layout.metrics_path.write_text(json.dumps(payload, indent=2, default=_json_default))
+
+    # _last checkpoint + metrics (reference :7557-7701)
+    if not ctx.eval_only and last_epoch >= 0:
+        last_name = f"{layout.stem}_last_e{last_epoch:02d}_{selection_tag}.ckpt"
+        last_path = layout.output_dir / last_name
+        save_checkpoint(
+            last_path,
+            {"params": params},
+            {
+                "epoch": last_epoch,
+                "monitor_metric": monitor_name,
+                "monitor_value": best_monitor,
+                "seed": plan.seed,
+            },
+        )
+        update_pointer(layout.output_dir / f"{layout.stem}_last.ckpt", last_path)
+        last_metrics_path = layout.output_dir / f"{layout.stem}_last.metrics.json"
+        last_metrics_path.write_text(json.dumps(payload, indent=2, default=_json_default))
+
+    logger.close()
+    summary = {
+        "stem": layout.stem,
+        "epochs_run": epochs_run,
+        "best_monitor": best_monitor,
+        "tau": primary_tau,
+        "metrics_path": str(layout.metrics_path),
+        "test_auroc": test_results.get("auroc") if test_results else None,
+        "payload": payload,
+    }
+    return summary
+
+
+def _json_default(value):
+    if isinstance(value, (np.floating, np.integer)):
+        return value.item()
+    if isinstance(value, np.ndarray):
+        return value.tolist()
+    if isinstance(value, Path):
+        return str(value)
+    return str(value)
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def cli_main(argv: Optional[List[str]] = None) -> None:
+    import argparse
+
+    from ssl4polyp_tpu.training.protocol import resolve_run_plan
+
+    parser = argparse.ArgumentParser(description="Classification fine-tuning (TPU)")
+    parser.add_argument("--exp-config", required=True)
+    parser.add_argument("--model-key", default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--output-dir", default="checkpoints/classification")
+    parser.add_argument("--pack-root", default=None)
+    parser.add_argument("--checkpoint-root", default=None)
+    parser.add_argument("--thresholds-root", default=None)
+    parser.add_argument("--parent-checkpoint", default=None)
+    parser.add_argument(
+        "--override", action="append", default=[],
+        help="dotted config overrides key.path=value",
+    )
+    args = parser.parse_args(argv)
+
+    cfg = load_layered_config(args.exp_config)
+    overrides: Dict[str, Any] = {}
+    for item in args.override:
+        key, _, raw = item.partition("=")
+        node = overrides
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        try:
+            value: Any = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        node[parts[-1]] = value
+
+    plan = resolve_run_plan(
+        cfg,
+        model_key=args.model_key,
+        seed=args.seed,
+        overrides=overrides,
+        parent_checkpoint=args.parent_checkpoint,
+        output_dir=args.output_dir,
+    )
+    ctx = build_run(
+        plan,
+        output_dir=args.output_dir,
+        pack_root=Path(args.pack_root) if args.pack_root else None,
+        checkpoint_root=Path(args.checkpoint_root) if args.checkpoint_root else None,
+        exp_config_name=args.exp_config,
+    )
+    thresholds_root = Path(args.thresholds_root) if args.thresholds_root else None
+    summary = run_classification_training(ctx, thresholds_root=thresholds_root)
+    print(json.dumps({k: v for k, v in summary.items() if k != "payload"}, default=str))
+
+
+if __name__ == "__main__":
+    cli_main()
