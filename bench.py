@@ -1,0 +1,110 @@
+"""Headline benchmark: MAE ViT-B/16 pretraining step throughput on TPU.
+
+Measures images/sec for the full jitted pretrain step (normalize → random
+75% masking → encoder → decoder → masked-pixel MSE → grads → AdamW) at
+bf16 compute on the attached chip, matching the reference workload
+(``mae/main_pretrain.py``: batch 64/GPU, mask_ratio 0.75).
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md); the
+driver's north-star target is ≥2× A100 images/sec/chip.  We take 825 img/s
+as the A100 MAE ViT-B/16 AMP pretrain estimate (MAE repo reports ~41.1h for
+800 epochs × 1.28M images on 64 V100s ≈ 217 img/s/V100; A100 ≈ 3.8× V100
+on this workload), so baseline = 2 × 825 = 1650 img/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_IMAGES_PER_SEC = 1650.0  # 2x A100 estimate (north-star target)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ssl4polyp_tpu.data.augment import normalize_batch
+    from ssl4polyp_tpu.models.mae import MAE_VIT_B16, init_mae, mae_forward
+    from ssl4polyp_tpu.parallel.mesh import build_mesh
+    from ssl4polyp_tpu.training import optim
+
+    import dataclasses
+    import os
+
+    cfg = MAE_VIT_B16
+    if os.environ.get("BENCH_REMAT", "1") == "1":
+        cfg = dataclasses.replace(
+            cfg, encoder=dataclasses.replace(cfg.encoder, remat=True)
+        )
+    n_devices = len(jax.devices())
+    mesh = build_mesh()
+    batch = int(os.environ.get("BENCH_BATCH", "128")) * n_devices
+
+    params = init_mae(jax.random.PRNGKey(0), cfg)
+    opt_state = optim.adamw_init(params)
+    wd_scale = optim.no_weight_decay_scales(params)
+    ones = jax.tree_util.tree_map(lambda _: 1.0, params)
+
+    def loss_fn(p, images_u8, key):
+        images = normalize_batch(images_u8, dtype=cfg.encoder.compute_dtype)
+        loss, _, _ = mae_forward(p, images, key, cfg)
+        return loss
+
+    def step(p, s, images_u8, key, lr):
+        loss, grads = jax.value_and_grad(loss_fn)(p, images_u8, key)
+        p, s = optim.adamw_update(
+            p, grads, s, lr=lr, b1=0.9, b2=0.95, weight_decay=0.05,
+            lr_scale=ones, wd_scale=wd_scale,
+        )
+        return p, s, loss
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+    jit_step = jax.jit(
+        step,
+        in_shardings=(replicated, replicated, sharded, replicated, replicated),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0, 1),
+    )
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.integers(0, 255, (batch, 224, 224, 3), dtype=np.uint8), sharded
+    )
+    params = jax.device_put(params, replicated)
+    opt_state = jax.device_put(opt_state, replicated)
+    lr = jax.device_put(jnp.float32(1e-3), replicated)
+
+    # Warmup (compile + stabilise); float() forces a device→host readback so
+    # timing is robust even if the transport treats block_until_ready loosely.
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        params, opt_state, loss = jit_step(params, opt_state, images, jax.random.fold_in(key, i), lr)
+    float(loss)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = jit_step(
+            params, opt_state, images, jax.random.fold_in(key, 100 + i), lr
+        )
+    float(loss)
+    elapsed = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / elapsed
+    per_chip = images_per_sec / n_devices
+    print(json.dumps({
+        "metric": "mae_vitb16_pretrain_throughput",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
