@@ -58,7 +58,10 @@ def _vit_b(num_classes: Optional[int], out_token: str, pos_embed: str, **overrid
         num_classes=num_classes,
         out_token=out_token,
     )
-    kwargs.update(overrides)  # tests and variants may shrink/retune the config
+    # Overrides (tests, eval-time rebuilds from checkpoint meta) win over the
+    # scheme defaults, including pos_embed/out_token.
+    kwargs.update(overrides)
+    kwargs.setdefault("num_classes", num_classes)
     return ViTConfig(**kwargs)
 
 
@@ -71,7 +74,10 @@ def get_mae_backbone(
     **overrides,
 ) -> Classifier:
     """ViT-B encoder from an MAE checkpoint (decoder discarded) + fresh head."""
-    cfg = _vit_b(num_classes, out_token, pos_embed="sincos", **overrides)
+    overrides = dict(overrides)
+    pos_embed = overrides.pop("pos_embed", "sincos")
+    out_token = overrides.pop("out_token", out_token)
+    cfg = _vit_b(num_classes, out_token, pos_embed=pos_embed, **overrides)
     params = init_vit(key, cfg)
     if weight_path is not None:
         state = load_torch_state_dict(weight_path, key="model")
@@ -92,7 +98,10 @@ def get_imagenet_or_random_vit(
     **overrides,
 ) -> Classifier:
     """timm-lineage ViT-B: AugReg weights when a local ``.npz`` is given, else random."""
-    cfg = _vit_b(num_classes, out_token, pos_embed="learned", **overrides)
+    overrides = dict(overrides)
+    pos_embed = overrides.pop("pos_embed", "learned")
+    out_token = overrides.pop("out_token", out_token)
+    cfg = _vit_b(num_classes, out_token, pos_embed=pos_embed, **overrides)
     params = init_vit(key, cfg)
     scheme = "random"
     if pretrained_npz is not None:

@@ -330,10 +330,19 @@ def make_forward_fn(ctx: TrainContext):
         images = normalize_batch(images_u8, dtype=cfg.compute_dtype)
         return apply_fn(params, images).astype(jnp.float32)
 
+    n_data = int(ctx.mesh.shape["data"])
+
     def run(params):
         def fn(images_u8):
-            device_batch = jax.device_put(np.asarray(images_u8), sharded)
-            return np.asarray(forward(params, device_batch))
+            host = np.asarray(images_u8)
+            # The batch axis must divide the data mesh axis; pad and slice.
+            remainder = host.shape[0] % n_data
+            pad = (n_data - remainder) % n_data
+            if pad:
+                host = np.concatenate([host, np.zeros((pad, *host.shape[1:]), host.dtype)])
+            device_batch = jax.device_put(host, sharded)
+            logits = np.asarray(forward(params, device_batch))
+            return logits[: logits.shape[0] - pad] if pad else logits
 
         return fn
 
@@ -539,6 +548,12 @@ def run_classification_training(
     epochs_run = 0
 
     if not ctx.eval_only:
+        n_data = int(mesh.shape["data"])
+        if plan.batch_size % n_data != 0:
+            raise ValueError(
+                f"Global batch size {plan.batch_size} must be divisible by the "
+                f"data mesh axis ({n_data} devices); adjust batch_size."
+            )
         train_index = ctx.datasets["train"]
         train_loader = HostDataLoader(
             train_index, batch_size=plan.batch_size, seed=plan.seed,
@@ -696,6 +711,7 @@ def run_classification_training(
                     "monitor_value": monitor_value,
                     "seed": plan.seed,
                     "stem": layout.stem,
+                    "model_cfg": _model_cfg_meta(ctx),
                     "thresholds": exports.build_thresholds_block(
                         thresholds_map,
                         policy=plan.threshold_policy,
@@ -917,6 +933,7 @@ def run_classification_training(
                 "monitor_metric": monitor_name,
                 "monitor_value": best_monitor,
                 "seed": plan.seed,
+                "model_cfg": _model_cfg_meta(ctx),
             },
         )
         update_pointer(layout.output_dir / f"{layout.stem}_last.ckpt", last_path)
@@ -934,6 +951,21 @@ def run_classification_training(
         "payload": payload,
     }
     return summary
+
+
+def _model_cfg_meta(ctx: TrainContext) -> Dict[str, Any]:
+    """Architecture facts needed to rebuild the model at eval time."""
+    cfg = ctx.classifier.cfg
+    return {
+        "img_size": cfg.img_size,
+        "patch_size": cfg.patch_size,
+        "embed_dim": cfg.embed_dim,
+        "depth": cfg.depth,
+        "num_heads": cfg.num_heads,
+        "pos_embed": cfg.pos_embed,
+        "out_token": cfg.out_token,
+        "num_classes": cfg.num_classes,
+    }
 
 
 def _json_default(value):

@@ -1,0 +1,275 @@
+"""Analysis layer tests: guardrails, bootstrap, seed checks, reports."""
+
+import csv
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ssl4polyp_tpu.analysis import (
+    Bootstrapper,
+    GuardrailViolation,
+    ResultLoader,
+    SeedCheckError,
+    compute_binary_metrics,
+    ensure_expected_seeds,
+    load_common_run,
+)
+from ssl4polyp_tpu.analysis.exp_reports import run_report
+
+
+def synth_run(
+    directory: Path,
+    *,
+    model="SupImnet",
+    seed=13,
+    auroc=0.9,
+    exp="exp1",
+    n_frames=60,
+    subset_percent=100.0,
+    fewshot_budget=None,
+    perturbations=False,
+    morphology=False,
+    zero_shot=False,
+    skill=2.0,
+):
+    """Write a guardrail-valid metrics.json + outputs CSV pair."""
+    directory.mkdir(parents=True, exist_ok=True)
+    stem = f"{model}_SUNFull_s{seed}"
+    rng = np.random.default_rng(seed * 7 + int(auroc * 100))
+    labels = rng.integers(0, 2, n_frames)
+    probs = np.clip(rng.normal(0.5 + (labels - 0.5) * skill * 0.3, 0.18), 0.001, 0.999)
+    tau = 0.5
+    preds = (probs >= tau).astype(int)
+
+    outputs_path = directory / f"{stem}_test_outputs.csv"
+    with open(outputs_path, "w", newline="") as handle:
+        writer = csv.DictWriter(handle, fieldnames=[
+            "frame_id", "prob", "label", "pred", "case_id",
+            "origin", "center_id", "sequence_id", "morphology",
+        ])
+        writer.writeheader()
+        for i in range(n_frames):
+            writer.writerow({
+                "frame_id": f"f{i}",
+                "prob": float(probs[i]),
+                "label": int(labels[i]),
+                "pred": int(preds[i]),
+                "case_id": f"case{i % 6}",
+                "origin": "sun",
+                "center_id": "",
+                "sequence_id": f"case{i % 6}",
+                "morphology": "flat" if i % 3 == 0 else "polypoid",
+            })
+
+    block = compute_binary_metrics(probs, labels, tau)
+    block["auroc"] = auroc  # pin the headline number for deterministic assertions
+    thresholds = {
+        "primary": {
+            "policy": "f1_opt_on_val", "tau": tau, "split": "sun_full/val", "epoch": 3,
+        },
+        "sensitivity": {
+            "policy": "youden_on_val", "tau": tau, "split": "sun_full/val", "epoch": 3,
+        },
+        "policy": "f1_opt_on_val",
+    }
+    if exp in ("exp5a", "exp5b", "exp5c"):
+        thresholds["primary"] = {
+            "policy": "sun_val_frozen", "tau": tau, "source_split": "sun_full/val",
+        }
+        thresholds["policy"] = "sun_val_frozen"
+        if exp == "exp5c":
+            thresholds["sensitivity"] = {
+                "policy": "val_opt_youden", "tau": tau, "split": "sun_full/val", "epoch": 3,
+            }
+        else:
+            thresholds.pop("sensitivity")
+
+    payload = {
+        "seed": seed,
+        "epoch": 5,
+        "run": {"model": model, "seed": seed, "mode": "train"},
+        "provenance": {
+            "model": model,
+            "train_seed": seed,
+            "subset_percent": subset_percent,
+            **({"fewshot_budget": fewshot_budget} if fewshot_budget else {}),
+        },
+        "data": {
+            "train": {"path": "sun_full/train", "sha256": "a" * 64},
+            "val": {"path": "sun_full/val", "sha256": "b" * 64},
+            "test": {"path": "sun_full/test", "sha256": "c" * 64},
+        },
+        "val": {"loss": 0.4, "auroc": auroc - 0.01},
+        "test_primary": block,
+        "thresholds": thresholds,
+    }
+    if exp == "exp1" or exp == "exp2" or exp == "exp4":
+        payload["test_sensitivity"] = dict(block)
+    if exp == "exp5c":
+        payload["test_sensitivity"] = dict(block)
+    if morphology:
+        payload["test_morphology"] = {
+            "flat": {"recall": 0.8, "f1": 0.75, "auroc": auroc - 0.05, "balanced_accuracy": 0.8},
+            "polypoid": {"recall": 0.9, "f1": 0.88, "auroc": auroc, "balanced_accuracy": 0.9},
+        }
+    if perturbations:
+        payload["test_perturbations"] = {
+            "per_tag": {
+                "clean": {"f1": 0.9, "count": 20},
+                "blur_sigma=1.5": {"f1": 0.7, "count": 20},
+                "jpeg_q=30": {"f1": 0.8, "count": 20},
+            }
+        }
+    if zero_shot:
+        payload["zero_shot"] = {"tau": tau, "metrics": {"auroc": auroc - 0.1}}
+    (directory / f"{stem}.metrics.json").write_text(json.dumps(payload, indent=2))
+    return payload
+
+
+def test_guardrails_accept_valid(tmp_path):
+    payload = synth_run(tmp_path)
+    loader = ResultLoader("exp1")
+    result = loader.load(next(tmp_path.glob("*.metrics.json")))
+    assert result.primary_metrics["auroc"] == pytest.approx(0.9)
+    assert loader.loaded_runs[0]["model"] == "SupImnet"
+
+
+def test_guardrails_reject_confusion_mismatch(tmp_path):
+    payload = synth_run(tmp_path)
+    path = next(tmp_path.glob("*.metrics.json"))
+    broken = json.loads(path.read_text())
+    broken["test_primary"]["tp"] += 5
+    path.write_text(json.dumps(broken))
+    with pytest.raises(GuardrailViolation, match="confusion totals"):
+        ResultLoader("exp1").load(path)
+
+
+def test_guardrails_reject_wrong_policy(tmp_path):
+    synth_run(tmp_path)
+    path = next(tmp_path.glob("*.metrics.json"))
+    broken = json.loads(path.read_text())
+    broken["thresholds"]["primary"]["policy"] = "youden_on_val"
+    path.write_text(json.dumps(broken))
+    with pytest.raises(GuardrailViolation, match="policy"):
+        ResultLoader("exp1").load(path)
+
+
+def test_guardrails_reject_missing_blocks(tmp_path):
+    synth_run(tmp_path)
+    path = next(tmp_path.glob("*.metrics.json"))
+    broken = json.loads(path.read_text())
+    del broken["val"]
+    path.write_text(json.dumps(broken))
+    with pytest.raises(GuardrailViolation, match="missing block 'val'"):
+        ResultLoader("exp1").load(path)
+
+
+def test_guardrails_split_binding(tmp_path):
+    synth_run(tmp_path)
+    path = next(tmp_path.glob("*.metrics.json"))
+    broken = json.loads(path.read_text())
+    broken["thresholds"]["primary"]["split"] = "other/val"
+    path.write_text(json.dumps(broken))
+    with pytest.raises(GuardrailViolation, match="split"):
+        ResultLoader("exp1").load(path)
+
+
+def test_common_run_loading(tmp_path):
+    synth_run(tmp_path, n_frames=30)
+    run = load_common_run(next(tmp_path.glob("*.metrics.json")), require_outputs=True)
+    assert len(run.frames) == 30
+    assert run.seed == 13
+    assert run.primary_tau == 0.5
+    assert run.model == "SupImnet"
+
+
+def test_bootstrapper_deterministic_and_signed():
+    rng = np.random.default_rng(0)
+    low = {13: rng.normal(0.7, 0.05, 100), 29: rng.normal(0.7, 0.05, 100)}
+    high = {13: low[13] + 0.1, 29: low[29] + 0.1}
+    cases = {13: [f"c{i % 10}" for i in range(100)], 29: [f"c{i % 10}" for i in range(100)]}
+    metrics = {"A": low, "B": high}
+    clusters = {"A": cases, "B": cases}
+    r1 = Bootstrapper(metrics, clusters=clusters, n_resamples=200).paired_delta("A", "B")
+    r2 = Bootstrapper(metrics, clusters=clusters, n_resamples=200).paired_delta("A", "B")
+    assert r1.mean == pytest.approx(0.1, abs=1e-9)
+    assert r1.samples == r2.samples  # seeded rng 1337 → identical draws
+    assert r1.ci_lower > 0.09 and r1.ci_upper < 0.11
+
+
+def test_seed_checks():
+    good = {"m": {13: 1, 29: 1, 47: 1}}
+    ensure_expected_seeds(good)
+    with pytest.raises(SeedCheckError, match="missing seeds"):
+        ensure_expected_seeds({"m": {13: 1}})
+    with pytest.raises(SeedCheckError, match="unexpected"):
+        ensure_expected_seeds({"m": {13: 1, 29: 1, 47: 1, 99: 1}})
+
+
+def test_exp1_report_end_to_end(tmp_path):
+    runs = tmp_path / "runs"
+    for model, auroc in (("SupImnet", 0.85), ("SslImnet", 0.91)):
+        for seed in (13, 29, 47):
+            synth_run(runs / model / f"seed{seed}", model=model, seed=seed,
+                      auroc=auroc, skill=2.0 if model == "SslImnet" else 1.2)
+    out = tmp_path / "report"
+    result = run_report("exp1", runs, out, n_resamples=100)
+    markdown = result["markdown"].read_text()
+    assert "SupImnet" in markdown and "SslImnet" in markdown
+    assert result["aggregates"]["SslImnet"]["auroc"]["mean"] == pytest.approx(0.91)
+    assert ("SupImnet", "SslImnet") in result["deltas"]
+    delta = result["deltas"][("SupImnet", "SslImnet")]["delta"]
+    assert delta["mean"] > 0  # contender more accurate
+    manifest = json.loads(result["manifest"].read_text())
+    assert manifest["n_runs"] == 6
+
+
+def test_exp1_report_seed_enforcement(tmp_path):
+    runs = tmp_path / "runs"
+    synth_run(runs, model="SupImnet", seed=13)
+    with pytest.raises(SeedCheckError):
+        run_report("exp1", runs, tmp_path / "r", n_resamples=10)
+
+
+def test_exp4_learning_curve(tmp_path):
+    runs = tmp_path / "runs"
+    for percent, auroc in ((10, 0.8), (50, 0.88), (100, 0.92)):
+        for seed in (13, 29, 47):
+            synth_run(
+                runs / f"p{percent}" / f"s{seed}", model="SslColon", seed=seed,
+                auroc=auroc, exp="exp4", subset_percent=float(percent),
+            )
+    result = run_report("exp4", runs, tmp_path / "r", n_resamples=10)
+    markdown = result["markdown"].read_text()
+    assert "Learning curves" in markdown
+    assert "AULC" in markdown
+    assert "SslColon@p10" in result["aggregates"]
+
+
+def test_exp5b_retention(tmp_path):
+    runs = tmp_path / "runs"
+    for seed in (13, 29, 47):
+        synth_run(
+            runs / f"s{seed}", model="SslColon", seed=seed, exp="exp5b",
+            perturbations=True,
+        )
+    result = run_report("exp5b", runs, tmp_path / "r", n_resamples=10)
+    markdown = result["markdown"].read_text()
+    assert "Perturbation retention" in markdown
+    assert "blur_sigma=1.5" in markdown
+
+
+def test_exp5c_zero_shot_anchor(tmp_path):
+    runs = tmp_path / "runs"
+    for seed in (13, 29, 47):
+        synth_run(
+            runs / f"s{seed}", model="SslColon", seed=seed, exp="exp5c",
+            fewshot_budget=50, zero_shot=True,
+        )
+    result = run_report("exp5c", runs, tmp_path / "r", n_resamples=10)
+    markdown = result["markdown"].read_text()
+    assert "Zero-shot anchor" in markdown
+    assert "SslColon@s50" in result["aggregates"]
