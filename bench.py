@@ -37,10 +37,16 @@ def main() -> None:
     import os
 
     cfg = MAE_VIT_B16
-    if os.environ.get("BENCH_REMAT", "1") == "1":
-        cfg = dataclasses.replace(
-            cfg, encoder=dataclasses.replace(cfg.encoder, remat=True)
-        )
+    encoder = dataclasses.replace(
+        cfg.encoder,
+        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+        use_pallas_attention=os.environ.get("BENCH_PALLAS", "0") == "1",
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=encoder,
+        decoder_depth=int(os.environ.get("BENCH_DECODER_DEPTH", cfg.decoder_depth)),
+    )
     n_devices = len(jax.devices())
     mesh = build_mesh()
     batch = int(os.environ.get("BENCH_BATCH", "128")) * n_devices

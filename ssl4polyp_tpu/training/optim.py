@@ -33,8 +33,12 @@ __all__ = [
     "AdamWState",
     "adamw_init",
     "adamw_update",
+    "LARSState",
+    "lars_init",
+    "lars_update",
     "no_weight_decay_scales",
     "finetune_lr_scales",
+    "layerwise_lr_decay_scales",
     "clip_by_global_norm",
     "global_norm",
 ]
@@ -176,6 +180,101 @@ def finetune_lr_scales(
         return backbone_scale if mode == "full" else 0.0
 
     return walk(params, ())
+
+
+def layerwise_lr_decay_scales(
+    params: Params,
+    depth: int,
+    decay: float = 0.75,
+    head_scale: float = 1.0,
+) -> Tree:
+    """Layer-wise learning-rate decay for MAE fine-tuning.
+
+    Replicates the policy of the vendored upstream helper the reference
+    ships (``mae/util/lr_decay.py``: ``param_groups_lrd``): embeddings get
+    ``decay^(depth+1)``, block *i* gets ``decay^(depth - i)``, the head gets
+    full LR.  With stacked blocks this is a single ``(depth, 1, ...)`` scale
+    vector per block leaf.
+    """
+    block_scales = jnp.asarray([decay ** (depth - i) for i in range(depth)])
+    embed_scale = float(decay ** (depth + 1))
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {key: walk(value, path + (key,)) for key, value in node.items()}
+        if path and path[0] == "head":
+            return head_scale
+        if path and path[0] == "blocks":
+            return block_scales.reshape((depth,) + (1,) * (node.ndim - 1))
+        if path and path[0] == "norm":
+            # final norm belongs to the last "layer group" upstream
+            return float(decay ** 0) * 1.0
+        return embed_scale
+
+    return walk(params, ())
+
+
+# ---------------------------------------------------------------------------
+# LARS (linear-probe optimizer, upstream MAE ``util/lars.py``)
+# ---------------------------------------------------------------------------
+
+
+class LARSState(NamedTuple):
+    step: jax.Array
+    momentum: Params
+
+
+def lars_init(params: Params) -> LARSState:
+    zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+    return LARSState(step=jnp.zeros((), jnp.int32), momentum=zeros)
+
+
+def lars_update(
+    params: Params,
+    grads: Params,
+    state: LARSState,
+    *,
+    lr: jax.Array | float,
+    weight_decay: float = 0.0,
+    momentum: float = 0.9,
+    trust_coefficient: float = 0.001,
+    lr_scale: Optional[Tree] = None,
+) -> tuple[Params, LARSState]:
+    """LARS with the upstream convention: layer adaptation and weight decay
+    apply only to tensors with ndim > 1 (bias/norm params get plain SGD)."""
+    step = state.step + 1
+    ones = jax.tree_util.tree_map(lambda _: 1.0, params)
+    ls_tree = lr_scale if lr_scale is not None else ones
+
+    def leaf(p, g, m, ls):
+        p32 = p.astype(jnp.float32)
+        g32 = g.astype(jnp.float32)
+        if p.ndim > 1:
+            g32 = g32 + weight_decay * p32
+            p_norm = jnp.linalg.norm(p32)
+            g_norm = jnp.linalg.norm(g32)
+            trust = jnp.where(
+                (p_norm > 0) & (g_norm > 0),
+                trust_coefficient * p_norm / g_norm,
+                1.0,
+            )
+            g32 = g32 * trust
+        m = momentum * m + g32
+        return (p32 - lr * ls * m).astype(p.dtype), m
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state.momentum)
+    flat_ls = treedef.flatten_up_to(ls_tree)
+    new_p, new_m = [], []
+    for p, g, m, ls in zip(flat_p, flat_g, flat_m, flat_ls):
+        np_, nm = leaf(p, g, m, ls)
+        new_p.append(np_)
+        new_m.append(nm)
+    return (
+        jax.tree_util.tree_unflatten(treedef, new_p),
+        LARSState(step=step, momentum=jax.tree_util.tree_unflatten(treedef, new_m)),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,96 @@
+"""LARS, layer-wise LR decay, DPT decoder, MAE-style finetune engines."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssl4polyp_tpu.training import optim
+
+
+def test_layerwise_lr_decay_scales():
+    params = {
+        "patch_embed": {"kernel": jnp.ones((4, 8))},
+        "blocks": {"attn": {"qkv": {"kernel": jnp.ones((3, 8, 24))}}},
+        "norm": {"scale": jnp.ones((8,))},
+        "head": {"kernel": jnp.ones((8, 2))},
+    }
+    scales = optim.layerwise_lr_decay_scales(params, depth=3, decay=0.5)
+    assert scales["head"]["kernel"] == 1.0
+    assert scales["patch_embed"]["kernel"] == pytest.approx(0.5 ** 4)
+    np.testing.assert_allclose(
+        np.asarray(scales["blocks"]["attn"]["qkv"]["kernel"]).ravel(),
+        [0.5 ** 3, 0.5 ** 2, 0.5 ** 1],
+    )
+
+
+def test_lars_matches_torch_reference_semantics():
+    """ndim>1 params get trust-ratio scaling + wd; 1D params plain SGD+momentum."""
+    w = jnp.full((4, 4), 2.0)
+    b = jnp.full((4,), 2.0)
+    params = {"w": w, "b": b}
+    grads = {"w": jnp.full((4, 4), 0.5), "b": jnp.full((4,), 0.5)}
+    state = optim.lars_init(params)
+    new_params, state = optim.lars_update(
+        params, grads, state, lr=0.1, weight_decay=0.0, momentum=0.9,
+        trust_coefficient=0.001,
+    )
+    # b: plain sgd: b - 0.1*0.5
+    np.testing.assert_allclose(np.asarray(new_params["b"]), 2.0 - 0.05, rtol=1e-6)
+    # w: trust = 0.001*||w||/||g|| = 0.001*8/2 = 0.004 → update 0.1*0.5*0.004
+    np.testing.assert_allclose(
+        np.asarray(new_params["w"]), 2.0 - 0.1 * 0.5 * 0.004, rtol=1e-5
+    )
+
+
+def test_dpt_decoder_shapes(rng_key):
+    from ssl4polyp_tpu.models.dpt import DPTConfig, dpt_forward, init_dpt
+
+    cfg = DPTConfig(embed_dim=32, num_classes=2, features=16, grid_size=4,
+                    reassemble_channels=(8, 16, 24, 32))
+    params = init_dpt(rng_key, cfg)
+    taps = [jax.random.normal(jax.random.PRNGKey(i), (2, 17, 32)) for i in range(4)]
+    out = dpt_forward(params, taps, cfg)
+    # grid 4 → input 4*patch; output at input/2 = grid*patch/2; with patch
+    # implicit, output spatial = grid*8 = 32 here (4 →(fusion ups)→ 32)
+    assert out.shape == (2, 32, 32, 2)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_run_blocks_collect_taps(rng_key):
+    from ssl4polyp_tpu.models import layers
+    from ssl4polyp_tpu.models.dpt import TAP_BLOCKS
+
+    blocks = layers.init_blocks(rng_key, depth=12, dim=16, mlp_ratio=2.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16))
+    final, collected = layers.run_blocks_collect(x, blocks, num_heads=2)
+    assert collected.shape == (12, 2, 5, 16)
+    np.testing.assert_allclose(np.asarray(collected[-1]), np.asarray(final), rtol=1e-5)
+    taps = [collected[i] for i in TAP_BLOCKS]
+    assert len(taps) == 4
+
+
+@pytest.mark.slow
+def test_linear_probe_trains_head_only(tmp_path):
+    from ssl4polyp_tpu.data.packs import create_classification_datasets
+    from ssl4polyp_tpu.models.factory import get_imagenet_or_random_vit
+    from ssl4polyp_tpu.training.mae_finetune import MAEFinetuneSettings, run_linear_probe
+    from tests.conftest import make_image_pack
+
+    pack = make_image_pack(tmp_path, frames_per_split=8, image_size=32)
+    datasets = create_classification_datasets(train_spec=pack, image_size=32)
+    classifier = get_imagenet_or_random_vit(
+        jax.random.PRNGKey(0), None, num_classes=2,
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+        compute_dtype=jnp.float32,
+    )
+    before_backbone = np.asarray(classifier.params["patch_embed"]["kernel"]).copy()
+    before_head = np.asarray(classifier.params["head"]["kernel"]).copy()
+    result = run_linear_probe(
+        classifier, datasets["train"],
+        MAEFinetuneSettings(epochs=1, warmup_epochs=0, batch_size=8, num_workers=1,
+                            base_lr=0.1, weight_decay=0.0),
+    )
+    after = result["params"]
+    np.testing.assert_array_equal(np.asarray(after["patch_embed"]["kernel"]), before_backbone)
+    assert not np.array_equal(np.asarray(after["head"]["kernel"]), before_head)

@@ -30,3 +30,24 @@ def test_fused_attention_row_independence():
     full = fused_attention(q, k, v, interpret=True)
     ref = reference_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(full), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_gradients_match():
+    """Custom VJP must agree with autodiff through the XLA reference."""
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H, N, hd = 1, 2, 37, 16
+    q = jax.random.normal(kq, (B, H, N, hd))
+    k = jax.random.normal(kk, (B, H, N, hd))
+    v = jax.random.normal(kv, (B, H, N, hd))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(jnp.square(fused_attention(q, k, v, True)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(reference_attention(q, k, v)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
