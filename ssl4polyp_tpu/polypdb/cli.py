@@ -60,8 +60,30 @@ def main(argv: Optional[List[str]] = None) -> None:
         "--out", type=Path, default=Path("results") / "polypdb" / "sun_corruptions"
     )
 
+    synth = subparsers.add_parser(
+        "synth", help="generate a synthetic smoke-test pack (images + CSVs + manifest)"
+    )
+    synth.add_argument("--out", type=Path, required=True)
+    synth.add_argument("--name", default="synthetic_pack")
+    synth.add_argument("--frames-per-split", type=int, default=32)
+    synth.add_argument("--image-size", type=int, default=224)
+    synth.add_argument("--seed", type=int, default=0)
+    synth.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+
     args = parser.parse_args(argv)
-    if args.command == "sun" and args.sun_command == "corrupt":
+    if args.command == "synth":
+        from .synth import build_synthetic_pack
+
+        pack_dir = build_synthetic_pack(
+            args.out,
+            name=args.name,
+            splits=tuple(args.splits),
+            frames_per_split=args.frames_per_split,
+            image_size=args.image_size,
+            seed=args.seed,
+        )
+        print(f"wrote synthetic pack to {pack_dir}")
+    elif args.command == "sun" and args.sun_command == "corrupt":
         pack_dir = _resolve(args.pack, resolve_data_pack_path)
         spec_path = _resolve(args.spec, resolve_config_path)
         roots_path = _resolve(args.roots, resolve_config_path)
