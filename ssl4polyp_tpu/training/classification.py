@@ -739,10 +739,15 @@ def run_classification_training(
                 )
                 break
 
-        # reload best checkpoint for the final test (reference :7380-7414)
+        # reload best checkpoint for the final test (reference :7380-7414).
+        # Restore onto the replicated sharding the eval forward was compiled
+        # for — otherwise the host-resident arrays force a full recompile.
         if best_checkpoint_path is not None and best_checkpoint_path.exists():
             restored = load_checkpoint(best_checkpoint_path)
-            params = jax.tree_util.tree_map(jnp.asarray, restored["payload"]["params"])
+            params = jax.device_put(
+                jax.tree_util.tree_map(jnp.asarray, restored["payload"]["params"]),
+                NamedSharding(mesh, P()),
+            )
             meta = restored.get("meta", {})
             logger.text(
                 f"reloaded best checkpoint {best_checkpoint_path.name} "
