@@ -41,6 +41,7 @@ def main() -> None:
         cfg.encoder,
         remat=os.environ.get("BENCH_REMAT", "1") == "1",
         use_pallas_attention=os.environ.get("BENCH_PALLAS", "0") == "1",
+        unroll_blocks=os.environ.get("BENCH_UNROLL", "0") == "1",
     )
     cfg = dataclasses.replace(
         cfg,

@@ -148,11 +148,14 @@ def run_blocks(
     ln_eps: float = 1e-6,
     use_pallas: bool = False,
     remat: bool = False,
+    unroll: bool = False,
 ) -> jax.Array:
     """Apply the stacked pre-norm blocks with ``lax.scan``.
 
     Equivalent computation to the reference's loop over ``timm`` Blocks
-    (``models_mae.py:166-168``) but compiled once for all depths.
+    (``models_mae.py:166-168``) but compiled once for all depths.  With
+    ``unroll`` the scan is replaced by a Python loop over static slices —
+    longer compiles, but XLA can fuse and schedule across block boundaries.
     """
 
     def body(h, layer):
@@ -164,6 +167,13 @@ def run_blocks(
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
+
+    if unroll:
+        depth = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+        for i in range(depth):
+            layer = jax.tree_util.tree_map(lambda a: a[i], blocks)
+            x, _ = body(x, layer)
+        return x
     x, _ = jax.lax.scan(body, x, blocks)
     return x
 

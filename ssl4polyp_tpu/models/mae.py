@@ -146,6 +146,7 @@ def mae_encode(
     h = layers.run_blocks(
         h, params["blocks"], enc.num_heads, ln_eps=enc.ln_eps,
         use_pallas=enc.use_pallas_attention, remat=enc.remat,
+        unroll=enc.unroll_blocks,
     )
     h = layers.layernorm(h, params["norm"]["scale"], params["norm"]["bias"], enc.ln_eps)
     return h, mask, ids_restore
@@ -174,6 +175,7 @@ def mae_decode(
     x = layers.run_blocks(
         x, dec["blocks"], cfg.decoder_num_heads, ln_eps=enc.ln_eps,
         use_pallas=enc.use_pallas_attention, remat=enc.remat,
+        unroll=enc.unroll_blocks,
     )
     x = layers.layernorm(x, dec["norm"]["scale"], dec["norm"]["bias"], enc.ln_eps)
     x = layers.linear(x, dec["pred"])

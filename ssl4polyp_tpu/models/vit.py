@@ -43,6 +43,7 @@ class ViTConfig:
     compute_dtype: Any = jnp.bfloat16
     use_pallas_attention: bool = False
     remat: bool = False
+    unroll_blocks: bool = False
 
     @property
     def grid_size(self) -> int:
@@ -107,6 +108,7 @@ def vit_features(params: Params, images: jax.Array, cfg: ViTConfig = VIT_B16) ->
         ln_eps=cfg.ln_eps,
         use_pallas=cfg.use_pallas_attention,
         remat=cfg.remat,
+        unroll=cfg.unroll_blocks,
     )
     return layers.layernorm(x, params["norm"]["scale"], params["norm"]["bias"], cfg.ln_eps)
 
