@@ -549,10 +549,15 @@ def run_classification_training(
 
     if not ctx.eval_only:
         n_data = int(mesh.shape["data"])
-        if plan.batch_size % n_data != 0:
-            raise ValueError(
-                f"Global batch size {plan.batch_size} must be divisible by the "
-                f"data mesh axis ({n_data} devices); adjust batch_size."
+        batch_pad = (n_data - plan.batch_size % n_data) % n_data
+        if batch_pad:
+            # Few-shot protocols prescribe tiny global batches (4/8/16) that
+            # may not divide the chip count; pad each batch with valid=False
+            # rows — the masked loss makes the gradients exact (the torch
+            # reference instead requires batch % world_size == 0).
+            logger.text(
+                f"padding global batch {plan.batch_size} with {batch_pad} masked "
+                f"rows to split over {n_data} devices"
             )
         train_index = ctx.datasets["train"]
         train_loader = HostDataLoader(
@@ -629,12 +634,19 @@ def run_classification_training(
                 else:
                     lr = stage_lr
                 key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), it)
+                images, labels, valid = batch["image"], batch["label"], batch["valid"]
+                if batch_pad:
+                    images = np.concatenate(
+                        [images, np.zeros((batch_pad, *images.shape[1:]), images.dtype)]
+                    )
+                    labels = np.concatenate([labels, np.zeros(batch_pad, labels.dtype)])
+                    valid = np.concatenate([valid, np.zeros(batch_pad, bool)])
                 params, opt_state, metrics = train_step(
                     params,
                     opt_state,
-                    jax.device_put(batch["image"], sharded),
-                    jax.device_put(batch["label"], sharded),
-                    jax.device_put(batch["valid"], sharded),
+                    jax.device_put(images, sharded),
+                    jax.device_put(labels, sharded),
+                    jax.device_put(valid, sharded),
                     key, jnp.float32(lr), lr_scale, wd_scale,
                 )
                 global_step += 1

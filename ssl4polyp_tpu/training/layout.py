@@ -172,13 +172,18 @@ def compose_stem(model_tag: str, data_tag: str, qualifiers: Iterable[str], seed:
 
 
 def extract_parent_metadata(reference: str) -> Tuple[Optional[str], Optional[int]]:
-    """Parse (data_tag, seed) from a parent checkpoint stem."""
+    """Parse (data_tag, seed) from a canonical parent checkpoint stem.
+
+    Stems follow ``<ModelTag>_<DataTag>[_qualifiers]_s<seed>`` (see
+    :func:`compose_stem`); the data tag is the second ``_`` token.
+    """
     stem = Path(reference).stem
     seed_match = re.search(r"_s(\d+)$", stem)
     seed = int(seed_match.group(1)) if seed_match else None
-    data_match = re.search(r"__(.+)_s\d+$", stem)
-    if data_match:
-        return data_match.group(1).split("_")[0], seed
+    body = stem[: seed_match.start()] if seed_match else stem
+    tokens = body.split("_")
+    if len(tokens) >= 2 and tokens[1]:
+        return tokens[1], seed
     return None, seed
 
 

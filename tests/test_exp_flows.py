@@ -1,0 +1,122 @@
+"""Experiment-flow integration: exp5c schedules + zero-shot, exp5b perturbations."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ssl4polyp_tpu.training import protocol as proto
+from ssl4polyp_tpu.training.classification import build_run, run_classification_training
+from tests.conftest import make_image_pack
+from tests.test_classification_engine import TINY_MODEL, tiny_cfg
+
+
+@pytest.fixture
+def packs(tmp_path):
+    root = tmp_path / "data_packs"
+    root.mkdir()
+    make_image_pack(root, name="sun_full", frames_per_split=16, image_size=32)
+    return root
+
+
+def train_parent(packs, out_dir):
+    plan = proto.resolve_run_plan(tiny_cfg(), model_key="sup_imnet", seed=13)
+    ctx = build_run(plan, output_dir=out_dir, pack_root=packs, model_overrides=TINY_MODEL)
+    summary = run_classification_training(ctx)
+    return ctx, summary
+
+
+def test_exp5c_schedule_and_zero_shot(packs, tmp_path):
+    out_dir = tmp_path / "out"
+    ctx, parent_summary = train_parent(packs, out_dir)
+
+    # few-shot pack with train/val/test
+    fs_dir = packs / "polypgen_fewshot"
+    fs_dir.mkdir()
+    make_image_pack(fs_dir, name="polypgen_fewshot_s50", frames_per_split=8, image_size=32)
+
+    cfg = tiny_cfg("polypgen_fewshot")
+    cfg["dataset"] = {
+        "name": "polypgen_fewshot",
+        "pack_pattern": "polypgen_fewshot/polypgen_fewshot_s{size}",
+        "size": 50,
+        "seeds": [13],
+        "splits": {"train": "train", "val": "val", "test": "test"},
+    }
+    del cfg["epochs"]
+    cfg["protocol"] = {
+        "init_from": "canonical_sun_models",
+        "eval_split": "test",
+        "thresholds": {"primary": "sun_val_frozen", "sensitivity": "val_opt_youden"},
+        "finetune_schedule": [
+            {"name": "head_warmup", "mode": "none", "epochs": 1, "head_lr": 5e-4},
+            {"name": "refine", "mode": "head+1", "epochs": 1, "head_lr": 5e-4, "backbone_lr": 5e-6},
+        ],
+    }
+    cfg["threshold_policy"] = "sun_val_frozen"
+    plan = proto.resolve_run_plan(
+        cfg, model_key="sup_imnet", seed=13,
+        parent_checkpoint=str(ctx.layout.checkpoint_path),
+    )
+    assert plan.epochs == 2
+    assert plan.batch_size == 4  # few-shot budget cap
+    ctx2 = build_run(plan, output_dir=out_dir, pack_root=packs, model_overrides=TINY_MODEL)
+    summary = run_classification_training(ctx2)
+
+    payload = json.loads(Path(summary["metrics_path"]).read_text())
+    # zero-shot anchor present with the frozen SUN tau
+    assert "zero_shot" in payload
+    assert payload["zero_shot"]["tau"] == pytest.approx(parent_summary["tau"])
+    zs_csv = Path(summary["metrics_path"]).parent / f"{summary['stem']}_zeroshot_outputs.csv"
+    assert zs_csv.exists()
+    # frozen primary + val_opt_youden sensitivity
+    assert payload["thresholds"]["primary"]["policy"] == "sun_val_frozen"
+    assert payload["thresholds"]["sensitivity"]["policy"] == "val_opt_youden"
+    assert "test_sensitivity" in payload
+    # lineage qualifier in the stem
+    assert "from" in summary["stem"]
+    assert payload["provenance"]["fewshot_budget"] == 50
+    assert "parent_run" in payload["provenance"]
+
+
+def test_exp5b_perturbation_eval(packs, tmp_path):
+    out_dir = tmp_path / "out"
+    ctx, parent_summary = train_parent(packs, out_dir)
+
+    make_image_pack(
+        packs, name="sun_test_perturbations", frames_per_split=10,
+        image_size=32, variant_rows=True,
+    )
+    cfg = tiny_cfg("sun_test_perturbations")
+    cfg["dataset"] = {
+        "name": "sun_test_perturbations",
+        "pack": "sun_test_perturbations",
+        "splits": {"test": "test"},
+    }
+    cfg["protocol"] = {
+        "init_from": "canonical_sun_models",
+        "finetune": "none",
+        "eval_split": "test",
+        "thresholds": {"primary": "sun_val_frozen", "sensitivity": "sun_val_frozen"},
+    }
+    cfg["threshold_policy"] = "sun_val_frozen"
+    plan = proto.resolve_run_plan(
+        cfg, model_key="sup_imnet", seed=13,
+        parent_checkpoint=str(ctx.layout.checkpoint_path),
+    )
+    assert plan.perturbation_splits == ["test"]
+    ctx2 = build_run(plan, output_dir=out_dir, pack_root=packs, model_overrides=TINY_MODEL)
+    assert ctx2.eval_only
+    assert ctx2.datasets["test"].perturbations_enabled
+    summary = run_classification_training(ctx2)
+
+    payload = json.loads(Path(summary["metrics_path"]).read_text())
+    assert payload["eval_only"] is True
+    per_tag = payload["test_perturbations"]["per_tag"]
+    assert "clean" in per_tag
+    assert "ALL-perturbed" in per_tag
+    # variant tags from the pack rows (blur/jpeg/bc/occ)
+    assert any(t.startswith("blur") for t in per_tag)
+    assert "per_case" in payload["test_perturbations"]
+    assert payload["thresholds"]["primary"]["tau"] == pytest.approx(parent_summary["tau"])

@@ -164,8 +164,10 @@ def test_stem_and_layout():
     )
     assert lay.format_selection_tag("val_loss") == "valLoss"
     assert lay.format_selection_tag("val_auroc") == "valAUROC"
-    tag, seed = lay.extract_parent_metadata("SupImnet__SUNFull_s13.ckpt")
+    tag, seed = lay.extract_parent_metadata("SupImnet_SUNFull_s13.ckpt")
     assert tag == "SUNFull" and seed == 13
+    tag, seed = lay.extract_parent_metadata("SslColon_SUNFull_s47_e07_valLoss.ckpt")
+    assert tag == "SUNFull"
 
 
 def test_canonical_parent_path():
