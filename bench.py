@@ -39,9 +39,10 @@ def main() -> None:
     cfg = MAE_VIT_B16
     encoder = dataclasses.replace(
         cfg.encoder,
-        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
         use_pallas_attention=os.environ.get("BENCH_PALLAS", "0") == "1",
-        unroll_blocks=os.environ.get("BENCH_UNROLL", "0") == "1",
+        unroll_blocks=os.environ.get("BENCH_UNROLL", "1") == "1",
+        attention_softmax_f32=os.environ.get("BENCH_F32_SOFTMAX", "0") == "1",
     )
     cfg = dataclasses.replace(
         cfg,
@@ -50,7 +51,7 @@ def main() -> None:
     )
     n_devices = len(jax.devices())
     mesh = build_mesh()
-    batch = int(os.environ.get("BENCH_BATCH", "128")) * n_devices
+    batch = int(os.environ.get("BENCH_BATCH", "64")) * n_devices
 
     params = init_mae(jax.random.PRNGKey(0), cfg)
     opt_state = optim.adamw_init(params)
@@ -62,7 +63,9 @@ def main() -> None:
         loss, _, _ = mae_forward(p, images, key, cfg)
         return loss
 
-    def step(p, s, images_u8, key, lr):
+    steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
+
+    def one_step(p, s, images_u8, key, lr):
         loss, grads = jax.value_and_grad(loss_fn)(p, images_u8, key)
         p, s = optim.adamw_update(
             p, grads, s, lr=lr, b1=0.9, b2=0.95, weight_decay=0.05,
@@ -70,18 +73,41 @@ def main() -> None:
         )
         return p, s, loss
 
+    def step(p, s, images_u8, key, lr):
+        if steps_per_call == 1:
+            return one_step(p, s, images_u8, key, lr)
+
+        # K optimizer steps fused into one dispatch: images_u8 is
+        # (K, B, H, W, 3); identical math to K sequential steps.
+        def body(carry, xs):
+            p, s = carry
+            micro_images, micro_key = xs
+            p, s, loss = one_step(p, s, micro_images, micro_key, lr)
+            return (p, s), loss
+
+        keys = jax.random.split(key, steps_per_call)
+        (p, s), losses = jax.lax.scan(body, (p, s), (images_u8, keys))
+        return p, s, losses[-1]
+
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P("data"))
+    image_sharding = (
+        NamedSharding(mesh, P(None, "data")) if steps_per_call > 1 else sharded
+    )
     jit_step = jax.jit(
         step,
-        in_shardings=(replicated, replicated, sharded, replicated, replicated),
+        in_shardings=(replicated, replicated, image_sharding, replicated, replicated),
         out_shardings=(replicated, replicated, replicated),
         donate_argnums=(0, 1),
     )
 
     rng = np.random.default_rng(0)
+    image_shape = (batch, 224, 224, 3)
+    if steps_per_call > 1:
+        image_shape = (steps_per_call, batch, 224, 224, 3)
     images = jax.device_put(
-        rng.integers(0, 255, (batch, 224, 224, 3), dtype=np.uint8), sharded
+        rng.integers(0, 255, image_shape, dtype=np.uint8),
+        NamedSharding(mesh, P(None, "data")) if steps_per_call > 1 else sharded,
     )
     params = jax.device_put(params, replicated)
     opt_state = jax.device_put(opt_state, replicated)
@@ -103,7 +129,7 @@ def main() -> None:
     float(loss)
     elapsed = time.perf_counter() - t0
 
-    images_per_sec = batch * iters / elapsed
+    images_per_sec = batch * steps_per_call * iters / elapsed
     per_chip = images_per_sec / n_devices
     print(json.dumps({
         "metric": "mae_vitb16_pretrain_throughput",

@@ -179,6 +179,15 @@ def compute_binary_metrics(
     return out
 
 
+def bce_loss_from_frames(frames: Sequence[FrameRecord], eps: float = 1e-7) -> float:
+    """Recompute the mean binary cross-entropy from exported probabilities
+    (reference ``reporting/metrics.py:56`` recomputes it from outputs CSVs
+    so reported losses are auditable)."""
+    probs = np.clip(np.asarray([f.prob for f in frames], dtype=float), eps, 1 - eps)
+    labels = np.asarray([f.label for f in frames], dtype=float)
+    return float(-np.mean(labels * np.log(probs) + (1 - labels) * np.log(1 - probs)))
+
+
 def build_cluster_map(frames: Sequence[FrameRecord], key: str = "case_id") -> Dict[str, List[int]]:
     """Group frame indices by cluster id (case/sequence) for bootstrap."""
     clusters: Dict[str, List[int]] = {}

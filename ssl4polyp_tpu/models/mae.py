@@ -146,7 +146,7 @@ def mae_encode(
     h = layers.run_blocks(
         h, params["blocks"], enc.num_heads, ln_eps=enc.ln_eps,
         use_pallas=enc.use_pallas_attention, remat=enc.remat,
-        unroll=enc.unroll_blocks,
+        unroll=enc.unroll_blocks, softmax_f32=enc.attention_softmax_f32,
     )
     h = layers.layernorm(h, params["norm"]["scale"], params["norm"]["bias"], enc.ln_eps)
     return h, mask, ids_restore
@@ -175,7 +175,7 @@ def mae_decode(
     x = layers.run_blocks(
         x, dec["blocks"], cfg.decoder_num_heads, ln_eps=enc.ln_eps,
         use_pallas=enc.use_pallas_attention, remat=enc.remat,
-        unroll=enc.unroll_blocks,
+        unroll=enc.unroll_blocks, softmax_f32=enc.attention_softmax_f32,
     )
     x = layers.layernorm(x, dec["norm"]["scale"], dec["norm"]["bias"], enc.ln_eps)
     x = layers.linear(x, dec["pred"])

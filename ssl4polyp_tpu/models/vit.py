@@ -44,6 +44,7 @@ class ViTConfig:
     use_pallas_attention: bool = False
     remat: bool = False
     unroll_blocks: bool = False
+    attention_softmax_f32: bool = True
 
     @property
     def grid_size(self) -> int:
@@ -109,6 +110,7 @@ def vit_features(params: Params, images: jax.Array, cfg: ViTConfig = VIT_B16) ->
         use_pallas=cfg.use_pallas_attention,
         remat=cfg.remat,
         unroll=cfg.unroll_blocks,
+        softmax_f32=cfg.attention_softmax_f32,
     )
     return layers.layernorm(x, params["norm"]["scale"], params["norm"]["bias"], cfg.ln_eps)
 
