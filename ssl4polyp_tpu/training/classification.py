@@ -631,6 +631,11 @@ def run_classification_training(
             for it, batch in enumerate(train_loader):
                 if it >= steps_per_epoch:
                     break
+                if plan.max_train_steps is not None and global_step >= plan.max_train_steps:
+                    logger.text(
+                        f"reached max_train_steps={plan.max_train_steps}; stopping epoch early"
+                    )
+                    break
                 if plan.finetune_schedule:
                     lr = stage_lr
                 elif plan.scheduler == "cosine":

@@ -72,6 +72,7 @@ class PretrainSettings:
     num_workers: int = 16
     log_interval: int = 20
     save_freq_epochs: int = 20
+    save_freq_mins: Optional[float] = None  # time-based mid-epoch saves
     keep_last: int = 2
     keep_every_n_epochs: Optional[int] = 100
     no_train_dir: bool = False
@@ -316,6 +317,7 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
             epoch_log_points = 0
             epoch_steps = 0
             t0 = time.perf_counter()
+            last_save_time = time.perf_counter()
             pending: list = []
             iterator = iter(loader)
             it = 0
@@ -353,6 +355,11 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
                         logger.text(f"FATAL: non-finite loss {loss_value} at step {step_global}")
                         save_epoch(epoch)
                         raise FloatingPointError(f"Loss is {loss_value}, stopping")
+                    grad_norm_value = float(metrics["grad_norm"])
+                    if not math.isfinite(grad_norm_value):
+                        logger.text(
+                            f"WARNING: non-finite grad norm at step {step_global}"
+                        )
                     epoch_loss += loss_value
                     epoch_log_points += 1
                     rate = throughput.tick(
@@ -367,6 +374,15 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
                     logger.text("Signal received: checkpointing and exiting")
                     save_epoch(epoch)
                     return {"interrupted": True, "epoch": epoch}
+                if (
+                    settings.save_freq_mins
+                    and time.perf_counter() - last_save_time
+                    > settings.save_freq_mins * 60.0
+                ):
+                    # time-based mid-epoch checkpoint (reference
+                    # engine_pretrain.py:90-93)
+                    save_epoch(epoch)
+                    last_save_time = time.perf_counter()
                 it += chunk
                 if it >= steps_per_epoch:
                     break

@@ -299,6 +299,7 @@ class RunPlan:
     limit_train_batches: Optional[int] = None
     limit_val_batches: Optional[int] = None
     limit_test_batches: Optional[int] = None
+    max_train_steps: Optional[int] = None
 
 
 def _sanitize_curve_exports(raw: Any) -> Dict[str, Dict[str, Any]]:
@@ -515,5 +516,6 @@ def resolve_run_plan(
         limit_train_batches=cfg.get("limit_train_batches"),
         limit_val_batches=cfg.get("limit_val_batches"),
         limit_test_batches=cfg.get("limit_test_batches"),
+        max_train_steps=cfg.get("max_train_steps"),
     )
     return plan
