@@ -207,6 +207,7 @@ def mae_forward(
     cfg: MAEConfig = MAE_VIT_B16,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full MAE step: returns (loss, pred_patches, mask)."""
+    params = layers.cast_params_for_compute(params, cfg.encoder.compute_dtype)
     latent, mask, ids_restore = mae_encode(params, images, rng, cfg)
     pred = mae_decode(params, latent, ids_restore, cfg)
     loss = mae_loss(images, pred, mask, cfg)

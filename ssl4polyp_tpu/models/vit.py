@@ -96,6 +96,7 @@ def embed_patches(params: Params, images: jax.Array, cfg: ViTConfig) -> jax.Arra
 
 def vit_features(params: Params, images: jax.Array, cfg: ViTConfig = VIT_B16) -> jax.Array:
     """Run the encoder; returns normalised token sequence (B, N+1, D)."""
+    params = layers.cast_params_for_compute(params, cfg.compute_dtype)
     x = embed_patches(params, images, cfg)
     pos = params["pos_embed"].astype(cfg.compute_dtype)
     x = x + pos[:, 1:, :]

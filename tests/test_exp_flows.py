@@ -120,3 +120,38 @@ def test_exp5b_perturbation_eval(packs, tmp_path):
     assert any(t.startswith("blur") for t in per_tag)
     assert "per_case" in payload["test_perturbations"]
     assert payload["thresholds"]["primary"]["tau"] == pytest.approx(parent_summary["tau"])
+
+
+def test_exp3_morphology_strata(packs, tmp_path):
+    out_dir = tmp_path / "out"
+    cfg = tiny_cfg()
+    cfg["protocol"]["morphology_eval"] = ["flat", "polypoid"]
+    plan = proto.resolve_run_plan(cfg, model_key="sup_imnet", seed=13)
+    assert plan.morphology_eval == ["flat", "polypoid"]
+    ctx = build_run(plan, output_dir=out_dir, pack_root=packs, model_overrides=TINY_MODEL)
+    summary = run_classification_training(ctx)
+    payload = json.loads(Path(summary["metrics_path"]).read_text())
+    strata = payload["test_morphology"]
+    assert set(strata) == {"flat", "polypoid"}
+    for block in strata.values():
+        assert "recall" in block and "count" in block
+
+
+def test_eval_cli_threshold_pack_recompute(packs, tmp_path):
+    """--threshold-pack triggers a Youden recompute when no tau is stored."""
+    out_dir = tmp_path / "out"
+    ctx, summary = train_parent(packs, out_dir)
+    from ssl4polyp_tpu.evaluation.eval_classification import evaluate
+    from ssl4polyp_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    # Strip stored thresholds by re-saving the checkpoint without meta
+    restored = load_checkpoint(ctx.layout.checkpoint_path)
+    bare = tmp_path / "bare.ckpt"
+    save_checkpoint(bare, {"params": restored["payload"]["params"]},
+                    {"model_cfg": restored["meta"]["model_cfg"]})
+    result = evaluate(
+        bare, packs / "sun_full", batch_size=8, image_size=32,
+        threshold_pack=packs / "sun_full", num_workers=1,
+    )
+    assert result["tau"] is not None
+    assert 0.0 <= result["tau"] <= 1.0
