@@ -48,6 +48,7 @@ class HostDataLoader:
         prefetch_batches: int = 2,
         process_index: int = 0,
         process_count: int = 1,
+        use_native: Optional[bool] = None,
     ) -> None:
         self.index = index
         self.batch_size = int(batch_size)
@@ -71,6 +72,21 @@ class HostDataLoader:
         self._perturber = (
             PerRowPerturber(index.hmac_key) if index.perturbations_enabled else None
         )
+
+        # Native batch JPEG decode (C++/libjpeg, DCT-domain downscale) when
+        # no per-row perturbation rendering is needed.  Auto-detected;
+        # disable with SSL4POLYP_NATIVE_DECODE=0.
+        if use_native is None:
+            import os
+
+            use_native = os.environ.get("SSL4POLYP_NATIVE_DECODE", "1") != "0"
+        self._use_native = bool(use_native) and self._perturber is None
+        if self._use_native:
+            from ssl4polyp_tpu import native
+
+            self._use_native = native.native_available() and all(
+                str(p).lower().endswith((".jpg", ".jpeg")) for p in index.paths[:16]
+            )
 
     # ------------------------------------------------------------------
 
@@ -107,21 +123,34 @@ class HostDataLoader:
         )
 
     def _assemble(self, positions: np.ndarray, pool: ThreadPoolExecutor) -> Dict[str, np.ndarray]:
-        images = list(pool.map(self._decode, [int(p) for p in positions]))
-        valid_count = len(positions)
         B = self.batch_size
         size = self.index.image_size
         batch_images = np.zeros((B, size, size, 3), dtype=np.uint8)
         batch_labels = np.zeros((B,), dtype=np.int32)
         batch_valid = np.zeros((B,), dtype=bool)
         batch_index = np.full((B,), -1, dtype=np.int32)
-        for slot, (position, image) in enumerate(zip(positions, images)):
-            batch_images[slot] = image
+
+        if self._use_native:
+            from ssl4polyp_tpu import native
+
+            paths = [self.index.paths[int(p)] for p in positions]
+            decoded = native.decode_resize_batch(
+                paths, size, size, n_threads=self.num_workers,
+                out=batch_images[: len(positions)],
+            )
+            if decoded is None:  # race: library became unavailable
+                self._use_native = False
+                return self._assemble(positions, pool)
+        else:
+            images = list(pool.map(self._decode, [int(p) for p in positions]))
+            for slot, image in enumerate(images):
+                batch_images[slot] = image
+
+        for slot, position in enumerate(positions):
             if self.index.labels is not None:
                 batch_labels[slot] = self.index.labels[int(position)]
             batch_valid[slot] = True
             batch_index[slot] = int(position)
-        del images
         return {
             "image": batch_images,
             "label": batch_labels,

@@ -1,0 +1,124 @@
+"""Native host-side components (C++ via ctypes).
+
+``jpeg_loader`` accelerates the input pipeline: JPEG decode at DCT-domain
+scale + threaded bilinear resize straight into a batch buffer.  The shared
+library is compiled from the bundled source on first use (g++ + libjpeg are
+part of the image) and cached next to the package; everything degrades
+gracefully to the PIL path when a toolchain or libjpeg is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["native_available", "decode_resize_batch", "decode_resize", "build_library"]
+
+_SOURCE = Path(__file__).parent / "jpeg_loader.cpp"
+_LIB_PATH = Path(__file__).parent / "_jpeg_loader.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def build_library(force: bool = False) -> Optional[Path]:
+    """Compile the shared library (cached); returns its path or None."""
+    global _build_failed
+    if _LIB_PATH.exists() and not force:
+        return _LIB_PATH
+    if _build_failed and not force:
+        return None
+    try:
+        subprocess.run(
+            [
+                "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                str(_SOURCE), "-o", str(_LIB_PATH), "-ljpeg", "-pthread",
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _LIB_PATH
+    except Exception:
+        _build_failed = True
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        library = build_library()
+        if library is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(library))
+        except OSError:
+            return None
+        lib.decode_resize.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.decode_resize.restype = ctypes.c_int
+        lib.decode_resize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.decode_resize_batch.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def decode_resize(path: str | os.PathLike, out_h: int, out_w: int) -> Optional[np.ndarray]:
+    """Decode one JPEG to (out_h, out_w, 3) uint8; None when unavailable/failed."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    status = lib.decode_resize(
+        str(path).encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_h, out_w,
+    )
+    return out if status == 0 else None
+
+
+def decode_resize_batch(
+    paths: Sequence[str | os.PathLike],
+    out_h: int,
+    out_w: int,
+    n_threads: int = 8,
+    out: Optional[np.ndarray] = None,
+) -> Optional[np.ndarray]:
+    """Decode a batch into (n, out_h, out_w, 3) uint8.
+
+    Returns None when the native library is unavailable; failed individual
+    frames are zero-filled (callers treat all-zero frames as decode errors).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    if out is None:
+        out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
+    encoded: List[bytes] = [str(p).encode() for p in paths]
+    array_type = ctypes.c_char_p * n
+    lib.decode_resize_batch(
+        array_type(*encoded), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_h, out_w, int(n_threads),
+    )
+    return out

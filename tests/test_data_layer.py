@@ -105,7 +105,12 @@ def test_perturbations_modify_pixels(tmp_path):
     pert_sets = create_classification_datasets(
         test_spec=pack, image_size=32, perturbation_splits=["test"],
     )
-    clean = next(iter(HostDataLoader(clean_sets["test"], batch_size=10, num_workers=1)))
+    # Force the PIL path for the clean loader so both loaders share a decode
+    # chain (perturbation loaders always use PIL; the native decoder differs
+    # from PIL by a few grey levels).
+    clean = next(iter(HostDataLoader(
+        clean_sets["test"], batch_size=10, num_workers=1, use_native=False,
+    )))
     pert = next(iter(HostDataLoader(pert_sets["test"], batch_size=10, num_workers=1)))
     meta = pert_sets["test"].meta
     for i in range(10):
