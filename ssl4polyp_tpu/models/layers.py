@@ -127,29 +127,33 @@ def attention(
     B, N, D = x.shape
     head_dim = D // num_heads
     qkv = linear(x, p["qkv"])  # (B, N, 3D)
+
+    if use_pallas:
+        # Single-kernel path: head split + softmax + AV stay in VMEM,
+        # consuming the fused-QKV projection output directly.
+        from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_attention
+
+        out = fused_qkv_attention(qkv, num_heads, False, softmax_f32)
+        return linear(out, p["proj"])
+
     qkv = qkv.reshape(B, N, 3, num_heads, head_dim)
     q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, H, hd)
     q = jnp.swapaxes(q, 1, 2)  # (B, H, N, hd)
     k = jnp.swapaxes(k, 1, 2)
     v = jnp.swapaxes(v, 1, 2)
 
-    if use_pallas:
-        from ssl4polyp_tpu.ops.attention import fused_attention
-
-        out = fused_attention(q, k, v)
-    else:
-        scale = 1.0 / math.sqrt(head_dim)
-        # softmax_f32=True keeps fp32 score storage + softmax (accuracy
-        # path, used for fine-tuning); False stores scores in the compute
-        # dtype and runs the softmax there too — halves the (N, N) HBM
-        # traffic that bounds attention (+15% step throughput for MAE
-        # pretraining, whose masked-MSE objective tolerates it).
-        score_dtype = jnp.float32 if softmax_f32 else x.dtype
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=score_dtype
-        )
-        weights = jax.nn.softmax(scores * scale, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=x.dtype)
+    scale = 1.0 / math.sqrt(head_dim)
+    # softmax_f32=True keeps fp32 score storage + softmax (accuracy path,
+    # used for fine-tuning); False stores scores in the compute dtype and
+    # runs the softmax there too — halves the (N, N) HBM traffic that
+    # bounds attention (+15% step throughput for MAE pretraining, whose
+    # masked-MSE objective tolerates it).
+    score_dtype = jnp.float32 if softmax_f32 else x.dtype
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=score_dtype
+    )
+    weights = jax.nn.softmax(scores * scale, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=x.dtype)
 
     out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
     return linear(out, p["proj"])

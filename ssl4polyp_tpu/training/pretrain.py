@@ -138,7 +138,7 @@ def make_pretrain_step(
         loss, _, _ = mae_forward(params, images, key, cfg)
         return loss
 
-    def one_step(params, opt_state, images_u8, key, lr, lr_scale, wd_scale):
+    def one_step(params, opt_state, images_u8, step_key, lr, lr_scale, wd_scale):
         def microbatch(carry, xs):
             grads_acc, loss_acc = carry
             micro_images, micro_key = xs
@@ -149,7 +149,7 @@ def make_pretrain_step(
         zero_grads = jax.tree_util.tree_map(
             lambda p: jnp.zeros_like(p, dtype=jnp.float32), params
         )
-        keys = jax.random.split(key, accum_iter)
+        keys = jax.random.split(step_key, accum_iter)
         (grads, loss_sum), _ = jax.lax.scan(
             microbatch, (zero_grads, jnp.zeros((), jnp.float32)), (images_u8, keys)
         )
@@ -171,19 +171,26 @@ def make_pretrain_step(
         metrics = {"loss": loss, "grad_norm": grad_norm}
         return params, opt_state, metrics
 
-    def step_fn(params, opt_state, images_u8, key, lr, lr_scale, wd_scale):
+    def step_fn(params, opt_state, images_u8, epoch_key, it0, lr, lr_scale, wd_scale):
+        # Per-step keys are fold_in(epoch_key, global_iteration) regardless
+        # of dispatch fusion, so steps_per_call=K is bit-identical to K
+        # sequential dispatches (tested).
         if steps_per_call == 1:
-            return one_step(params, opt_state, images_u8, key, lr, lr_scale, wd_scale)
+            return one_step(
+                params, opt_state, images_u8,
+                jax.random.fold_in(epoch_key, it0), lr, lr_scale, wd_scale,
+            )
 
         def body(carry, xs):
             p, s = carry
-            chunk_images, chunk_key = xs
-            p, s, metrics = one_step(p, s, chunk_images, chunk_key, lr, lr_scale, wd_scale)
+            chunk_images, offset = xs
+            step_key = jax.random.fold_in(epoch_key, it0 + offset)
+            p, s, metrics = one_step(p, s, chunk_images, step_key, lr, lr_scale, wd_scale)
             return (p, s), metrics
 
-        keys = jax.random.split(key, steps_per_call)
+        offsets = jnp.arange(steps_per_call)
         (params, opt_state), metrics = jax.lax.scan(
-            body, (params, opt_state), (images_u8, keys)
+            body, (params, opt_state), (images_u8, offsets)
         )
         last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         last["loss"] = jnp.mean(metrics["loss"])
@@ -196,7 +203,7 @@ def make_pretrain_step(
     return jax.jit(
         step_fn,
         in_shardings=(replicated, replicated, data_sharded, replicated, replicated,
-                      replicated, replicated),
+                      replicated, replicated, replicated),
         out_shardings=(replicated, replicated, replicated),
         donate_argnums=(0, 1),
     )
@@ -262,6 +269,12 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
     steps_per_call = max(1, int(settings.steps_per_call))
     train_step = make_pretrain_step(
         cfg, mesh, settings.accum_iter, settings.weight_decay, steps_per_call
+    )
+    # Tail batches that don't fill a fused dispatch run through a
+    # single-step executable (padding them would apply extra updates).
+    train_step_single = (
+        train_step if steps_per_call == 1
+        else make_pretrain_step(cfg, mesh, settings.accum_iter, settings.weight_decay, 1)
     )
 
     # ---- signal handling: save and exit --------------------------------
@@ -331,20 +344,25 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
                         break
                 if not pending:
                     break
-                while len(pending) < steps_per_call:
-                    pending.append(pending[-1])  # pad the tail dispatch
                 chunk = len(pending)
                 lr = schedule(step_global)
-                if steps_per_call > 1:
-                    host_batch = np.stack(pending)
+                epoch_key = jax.random.fold_in(root_key, epoch)
+                if steps_per_call > 1 and chunk == steps_per_call:
+                    device_batch = jax.device_put(np.stack(pending), data_sharding)
+                    params, opt_state, metrics = train_step(
+                        params, opt_state, device_batch,
+                        epoch_key, jnp.int32(it), jnp.float32(lr), lr_scale, wd_scale,
+                    )
                 else:
-                    host_batch = pending[0]
-                device_batch = jax.device_put(host_batch, data_sharding)
-                key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), it)
-                params, opt_state, metrics = train_step(
-                    params, opt_state, device_batch,
-                    key, jnp.float32(lr), lr_scale, wd_scale,
-                )
+                    # tail: dispatch remaining batches one step at a time
+                    single_sharding = NamedSharding(mesh, P(None, "data"))
+                    for j, single in enumerate(pending):
+                        device_batch = jax.device_put(single, single_sharding)
+                        params, opt_state, metrics = train_step_single(
+                            params, opt_state, device_batch,
+                            epoch_key, jnp.int32(it + j), jnp.float32(lr),
+                            lr_scale, wd_scale,
+                        )
                 step_global += chunk if steps_per_call > 1 else 1
                 epoch_steps += chunk if steps_per_call > 1 else 1
                 if (it // max(1, steps_per_call)) % max(

@@ -95,3 +95,26 @@ def test_pretrain_auto_resume(image_folder, tmp_path, monkeypatch):
     lines = [json.loads(l) for l in (out / "pretrain.jsonl").read_text().splitlines()]
     epochs = [l["epoch"] for l in lines]
     assert epochs == [0, 1]  # epoch 0 from first run, epoch 1 after resume
+
+
+def test_steps_per_call_equivalence(image_folder, tmp_path, monkeypatch):
+    """K fused optimizer steps must produce the same parameters as K
+    sequential dispatches (identical math, different dispatch shape)."""
+    patch_tiny_model(monkeypatch)
+    import numpy as np
+
+    from ssl4polyp_tpu.utils.checkpoint import load_checkpoint
+
+    s1 = tiny_settings(image_folder, tmp_path / "a", epochs=1, seed=3)
+    run_pretraining(s1)
+    s2 = tiny_settings(image_folder, tmp_path / "b", epochs=1, seed=3, steps_per_call=2)
+    run_pretraining(s2)
+
+    ck1 = load_checkpoint(Path(s1.output_dir) / "ckpts" / "checkpoint-0.ckpt")
+    ck2 = load_checkpoint(Path(s2.output_dir) / "ckpts" / "checkpoint-0.ckpt")
+    import jax
+
+    flat1 = jax.tree_util.tree_leaves(ck1["payload"]["params"])
+    flat2 = jax.tree_util.tree_leaves(ck2["payload"]["params"])
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)

@@ -1,0 +1,54 @@
+"""Fused QKV attention kernel vs the XLA einsum path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_attention
+
+
+def reference(qkv, num_heads):
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    r = qkv.reshape(B, N, 3, num_heads, hd)
+    q, k, v = jnp.moveaxis(r, 2, 0)
+    q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(scores / jnp.sqrt(hd), axis=-1).astype(qkv.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=qkv.dtype)
+    return jnp.swapaxes(out, 1, 2).reshape(B, N, D)
+
+
+def test_forward_matches_reference():
+    B, N, H, hd = 2, 37, 4, 16
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * H * hd), jnp.float32)
+    ours = fused_qkv_attention(qkv, H, True)
+    ref = reference(qkv, H)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_reference():
+    B, N, H, hd = 1, 21, 2, 8
+    qkv = jax.random.normal(jax.random.PRNGKey(1), (B, N, 3 * H * hd), jnp.float32)
+
+    g_ours = jax.grad(lambda t: jnp.sum(jnp.square(fused_qkv_attention(t, H, True))))(qkv)
+    g_ref = jax.grad(lambda t: jnp.sum(jnp.square(reference(t, H))))(qkv)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_via_layers_attention():
+    from ssl4polyp_tpu.models import layers
+
+    key = jax.random.PRNGKey(2)
+    p = {
+        "qkv": layers.init_linear(jax.random.fold_in(key, 0), 32, 96),
+        "proj": layers.init_linear(jax.random.fold_in(key, 1), 32, 32),
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 2), (2, 9, 32))
+    # interpret-mode comparison is done in the kernel tests; on CPU the
+    # pallas path runs compiled via interpret fallback only when asked, so
+    # here just check the XLA path remains the default and finite.
+    out = layers.attention(x, p, num_heads=4)
+    assert out.shape == (2, 9, 32)
+    assert bool(jnp.isfinite(out).all())
