@@ -441,6 +441,7 @@ def _resolve_policy_tau(
 def run_classification_training(
     ctx: TrainContext,
     thresholds_root: Optional[Path] = None,
+    resume: bool = False,
 ) -> Dict[str, Any]:
     plan = ctx.plan
     layout = ctx.layout
@@ -612,8 +613,52 @@ def run_classification_training(
             params, 0, plan.finetune_mode
         )
         no_improve = 0
+        start_epoch = 0
 
-        for epoch in range(plan.epochs):
+        # ---- resume (reference build() resume path: pointer or newest
+        # epoch checkpoint; JAX keys are values, so (seed, epoch, it)
+        # reproduce data order and masking exactly) -----------------------
+        if resume:
+            candidates = sorted(layout.output_dir.glob(f"{layout.stem}_e*_*.ckpt"))
+            pointer = layout.checkpoint_path
+            resume_path = pointer if (pointer.exists() or pointer.is_symlink()) else (
+                candidates[-1] if candidates else None
+            )
+            if resume_path is not None:
+                restored = load_checkpoint(resume_path)
+                params = jax.device_put(
+                    jax.tree_util.tree_map(jnp.asarray, restored["payload"]["params"]),
+                    replicated,
+                )
+                opt = restored["payload"].get("opt")
+                if opt is not None:
+                    opt_state = jax.device_put(
+                        optim.AdamWState(
+                            step=jnp.asarray(opt["step"]),
+                            mu=jax.tree_util.tree_map(jnp.asarray, opt["mu"]),
+                            nu=jax.tree_util.tree_map(jnp.asarray, opt["nu"]),
+                        ),
+                        replicated,
+                    )
+                meta = restored.get("meta", {})
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                best_monitor = meta.get("monitor_value")
+                thresholds_meta = meta.get("thresholds") or {}
+                stored_primary = thresholds_meta.get("primary")
+                if isinstance(stored_primary, Mapping) and stored_primary.get("tau") is not None:
+                    primary_tau = float(stored_primary["tau"])
+                    primary_record = dict(stored_primary)
+                stored_sensitivity = thresholds_meta.get("sensitivity")
+                if isinstance(stored_sensitivity, Mapping) and stored_sensitivity.get("tau") is not None:
+                    sensitivity_tau = float(stored_sensitivity["tau"])
+                    sensitivity_record = dict(stored_sensitivity)
+                global_step = start_epoch * steps_per_epoch
+                best_checkpoint_path = Path(resume_path).resolve()
+                logger.text(
+                    f"resumed from {Path(resume_path).name} at epoch {start_epoch}"
+                )
+
+        for epoch in range(start_epoch, plan.epochs):
             new_lr, new_scale, new_mode, new_stage = schedule_runtime.lr_and_scales(
                 params, epoch, plan.finetune_mode
             )
@@ -1028,6 +1073,10 @@ def cli_main(argv: Optional[List[str]] = None) -> None:
         "--override", action="append", default=[],
         help="dotted config overrides key.path=value",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from the run's checkpoint pointer / newest epoch checkpoint",
+    )
     args = parser.parse_args(argv)
 
     cfg = load_layered_config(args.exp_config)
@@ -1060,7 +1109,9 @@ def cli_main(argv: Optional[List[str]] = None) -> None:
         exp_config_name=args.exp_config,
     )
     thresholds_root = Path(args.thresholds_root) if args.thresholds_root else None
-    summary = run_classification_training(ctx, thresholds_root=thresholds_root)
+    summary = run_classification_training(
+        ctx, thresholds_root=thresholds_root, resume=args.resume
+    )
     print(json.dumps({k: v for k, v in summary.items() if k != "payload"}, default=str))
 
 

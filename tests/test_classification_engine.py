@@ -167,3 +167,24 @@ def test_head_only_freeze_keeps_backbone(sun_pack, tmp_path):
     after = restored["payload"]["params"]
     np.testing.assert_array_equal(np.asarray(after["patch_embed"]["kernel"]), before)
     assert not np.array_equal(np.asarray(after["head"]["kernel"]), head_before)
+
+
+def test_resume_continues_training(sun_pack, tmp_path):
+    """A second invocation with resume=True picks up at the next epoch."""
+    out_dir = tmp_path / "out"
+    cfg = tiny_cfg()
+    cfg["epochs"] = 1
+    plan = proto.resolve_run_plan(cfg, model_key="sup_imnet", seed=13)
+    ctx = build_run(plan, output_dir=out_dir, pack_root=sun_pack, model_overrides=TINY_MODEL)
+    first = run_classification_training(ctx)
+    assert first["epochs_run"] == 1
+
+    cfg2 = tiny_cfg()
+    cfg2["epochs"] = 2
+    plan2 = proto.resolve_run_plan(cfg2, model_key="sup_imnet", seed=13)
+    ctx2 = build_run(plan2, output_dir=out_dir, pack_root=sun_pack, model_overrides=TINY_MODEL)
+    second = run_classification_training(ctx2, resume=True)
+    # only epoch 1 ran in the second invocation
+    log_text = (ctx2.layout.output_dir / f"{ctx2.layout.stem}.log").read_text()
+    assert "resumed from" in log_text
+    assert second["epochs_run"] == 2  # epoch counter reaches the plan total
