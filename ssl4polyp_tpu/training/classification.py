@@ -787,14 +787,12 @@ def run_classification_training(
                         sensitivity=sensitivity_record,
                     ),
                 }
-                save_checkpoint(
-                    best_checkpoint_path,
-                    {
-                        "params": params,
-                        "opt": {"step": opt_state.step, "mu": opt_state.mu, "nu": opt_state.nu},
-                    },
-                    meta,
-                )
+                payload_tree: Dict[str, Any] = {"params": params}
+                if plan.checkpoint_optimizer_state:
+                    payload_tree["opt"] = {
+                        "step": opt_state.step, "mu": opt_state.mu, "nu": opt_state.nu,
+                    }
+                save_checkpoint(best_checkpoint_path, payload_tree, meta)
                 update_pointer(layout.checkpoint_path, best_checkpoint_path)
                 no_improve = 0
             else:

@@ -300,6 +300,10 @@ class RunPlan:
     limit_val_batches: Optional[int] = None
     limit_test_batches: Optional[int] = None
     max_train_steps: Optional[int] = None
+    # Include AdamW moments in best-checkpoints (exact-resume fidelity).
+    # Disable on hosts with slow device->host paths; last/best params are
+    # always saved.
+    checkpoint_optimizer_state: bool = True
 
 
 def _sanitize_curve_exports(raw: Any) -> Dict[str, Dict[str, Any]]:
@@ -517,5 +521,6 @@ def resolve_run_plan(
         limit_val_batches=cfg.get("limit_val_batches"),
         limit_test_batches=cfg.get("limit_test_batches"),
         max_train_steps=cfg.get("max_train_steps"),
+        checkpoint_optimizer_state=bool(cfg.get("checkpoint_optimizer_state", True)),
     )
     return plan
