@@ -73,21 +73,51 @@ def get_mae_backbone(
     scheme: str = "ssl_colon",
     **overrides,
 ) -> Classifier:
-    """ViT-B encoder from an MAE checkpoint (decoder discarded) + fresh head."""
+    """ViT-B encoder from an MAE checkpoint (decoder discarded) + fresh head.
+
+    Accepts both checkpoint families: native ``.ckpt`` msgpack pytrees
+    written by :mod:`ssl4polyp_tpu.training.pretrain` and reference-format
+    torch ``.pth`` files (``ckpt["model"]`` state dicts).
+    """
     overrides = dict(overrides)
     pos_embed = overrides.pop("pos_embed", "sincos")
     out_token = overrides.pop("out_token", out_token)
     cfg = _vit_b(num_classes, out_token, pos_embed=pos_embed, **overrides)
     params = init_vit(key, cfg)
     if weight_path is not None:
-        state = load_torch_state_dict(weight_path, key="model")
-        imported = mae_params_from_torch(state, cfg, include_decoder=False)
-        imported = _as_jax(imported)
+        imported = _load_mae_encoder(weight_path, cfg)
         head = params.get("head")
         params = imported
         if head is not None:
             params["head"] = head
     return Classifier(params=params, cfg=cfg, scheme=scheme)
+
+
+def _load_mae_encoder(weight_path: str | Path, cfg: ViTConfig) -> Params:
+    """Load an MAE encoder pytree from a native or torch checkpoint."""
+    path = Path(weight_path)
+    if path.suffix == ".ckpt" or path.name.endswith(".ckpt.json"):
+        from ssl4polyp_tpu.models.mae import encoder_only
+        from ssl4polyp_tpu.utils.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(path)
+        mae_params = restored["payload"].get("params")
+        if mae_params is None:
+            raise ValueError(f"Native checkpoint {path} lacks a 'params' payload")
+        return _as_jax(encoder_only(mae_params))
+    # Try native msgpack first even without the suffix, then torch pickle.
+    try:
+        from ssl4polyp_tpu.models.mae import encoder_only
+        from ssl4polyp_tpu.utils.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(path)
+        mae_params = restored.get("payload", {}).get("params")
+        if mae_params is not None:
+            return _as_jax(encoder_only(mae_params))
+    except Exception:
+        pass
+    state = load_torch_state_dict(path, key="model")
+    return _as_jax(mae_params_from_torch(state, cfg, include_decoder=False))
 
 
 def get_imagenet_or_random_vit(

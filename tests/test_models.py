@@ -221,3 +221,33 @@ def test_torch_import_forward_equivalence(tmp_path):
     images = jnp.asarray(img_t.permute(0, 2, 3, 1).numpy())
     got = embed_patches(params, images, cfg)
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_ssl_colon_flow_native_checkpoint(tmp_path, rng_key):
+    """Our own MAE pretraining checkpoint feeds get_mae_backbone directly."""
+    import jax
+
+    from ssl4polyp_tpu.models.factory import get_mae_backbone
+    from ssl4polyp_tpu.utils.checkpoint import save_checkpoint
+
+    mae_params = init_mae(rng_key, MAE_TINY)
+    ckpt = tmp_path / "checkpoint-5.ckpt"
+    save_checkpoint(ckpt, {"params": mae_params}, {"epoch": 5})
+
+    enc = MAE_TINY.encoder
+    classifier = get_mae_backbone(
+        jax.random.PRNGKey(1), weight_path=ckpt, num_classes=2,
+        img_size=enc.img_size, patch_size=enc.patch_size,
+        embed_dim=enc.embed_dim, depth=enc.depth, num_heads=enc.num_heads,
+        compute_dtype=jnp.float32,
+    )
+    # decoder stripped, encoder weights identical, fresh head attached
+    assert "decoder" not in classifier.params
+    np.testing.assert_array_equal(
+        np.asarray(classifier.params["patch_embed"]["kernel"]),
+        np.asarray(mae_params["patch_embed"]["kernel"]),
+    )
+    assert "head" in classifier.params
+    logits = classifier.apply(classifier.params, jnp.ones((2, 32, 32, 3)))
+    assert logits.shape == (2, 2)
+    assert bool(jnp.isfinite(logits).all())
