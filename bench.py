@@ -40,7 +40,7 @@ def main() -> None:
     encoder = dataclasses.replace(
         cfg.encoder,
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
-        use_pallas_attention=os.environ.get("BENCH_PALLAS", "0") == "1",
+        use_pallas_attention=os.environ.get("BENCH_PALLAS", "1") == "1",
         unroll_blocks=os.environ.get("BENCH_UNROLL", "1") == "1",
         attention_softmax_f32=os.environ.get("BENCH_F32_SOFTMAX", "0") == "1",
     )

@@ -36,15 +36,18 @@ def _round_up(value: int, multiple: int) -> int:
 
 
 def _head_weights(q_h, k_h, n_valid: int, scale: float, f32: bool):
-    """Masked softmax weights for one head: (N_pad, hd) × (N_pad, hd)."""
+    """Masked softmax weights for one head over G batch rows.
+
+    q_h/k_h: (G, N_pad, hd) → weights (G, N_pad, N_pad) f32.
+    """
     scores = jax.lax.dot_general(
         q_h, k_h,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale  # (N_pad, N_pad) f32
+    ) * scale
     n_pad = scores.shape[-1]
     if n_valid < n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=2)
         scores = jnp.where(col < n_valid, scores, -jnp.inf)
     if not f32:
         scores = scores.astype(q_h.dtype).astype(jnp.float32)
@@ -56,59 +59,83 @@ def _head_weights(q_h, k_h, n_valid: int, scale: float, f32: bool):
 def _fwd_kernel(qkv_ref, out_ref, *, n_valid, num_heads, head_dim, scale, f32):
     # Static per-head lane slices (mosaic handles lane-offset slicing; the
     # lane→sublane reshape a head-major transpose would need is unsupported).
+    # Each program covers G batch rows so the per-head matmuls run as
+    # G-batched dot_generals that keep the MXU fed.
     D = num_heads * head_dim
-    qkv_row = qkv_ref[0]
+    qkv_rows = qkv_ref[:]  # (G, N_pad, 3D)
     for h in range(num_heads):
         lo = h * head_dim
-        q_h = qkv_row[:, lo:lo + head_dim]
-        k_h = qkv_row[:, D + lo:D + lo + head_dim]
-        v_h = qkv_row[:, 2 * D + lo:2 * D + lo + head_dim]
+        q_h = qkv_rows[:, :, lo:lo + head_dim]
+        k_h = qkv_rows[:, :, D + lo:D + lo + head_dim]
+        v_h = qkv_rows[:, :, 2 * D + lo:2 * D + lo + head_dim]
         weights = _head_weights(q_h, k_h, n_valid, scale, f32)
-        out_h = jnp.dot(
-            weights.astype(v_h.dtype), v_h, preferred_element_type=jnp.float32
+        out_h = jax.lax.dot_general(
+            weights.astype(v_h.dtype), v_h,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
-        out_ref[0, :, lo:lo + head_dim] = out_h.astype(out_ref.dtype)
+        out_ref[:, :, lo:lo + head_dim] = out_h.astype(out_ref.dtype)
 
 
 def _bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, n_valid, num_heads, head_dim, scale, f32):
     D = num_heads * head_dim
-    qkv_row = qkv_ref[0]
+    qkv_rows = qkv_ref[:]
     for h in range(num_heads):
         lo = h * head_dim
-        q_h = qkv_row[:, lo:lo + head_dim]
-        k_h = qkv_row[:, D + lo:D + lo + head_dim]
-        v_h = qkv_row[:, 2 * D + lo:2 * D + lo + head_dim]
-        dout_h = dout_ref[0, :, lo:lo + head_dim].astype(jnp.float32)
+        q_h = qkv_rows[:, :, lo:lo + head_dim]
+        k_h = qkv_rows[:, :, D + lo:D + lo + head_dim]
+        v_h = qkv_rows[:, :, 2 * D + lo:2 * D + lo + head_dim]
+        dout_h = dout_ref[:, :, lo:lo + head_dim].astype(jnp.float32)
 
-        weights = _head_weights(q_h, k_h, n_valid, scale, f32)  # (N, N) f32
+        weights = _head_weights(q_h, k_h, n_valid, scale, f32)  # (G, N, N) f32
         v32 = v_h.astype(jnp.float32)
         q32 = q_h.astype(jnp.float32)
         k32 = k_h.astype(jnp.float32)
 
         dv = jax.lax.dot_general(  # Wᵀ dO
             weights, dout_h,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        dw = jnp.dot(dout_h, v32.T, preferred_element_type=jnp.float32)
+        dw = jax.lax.dot_general(  # dO Vᵀ
+            dout_h, v32,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
         tmp = jnp.sum(dw * weights, axis=-1, keepdims=True)
         ds = weights * (dw - tmp) * scale
-        dq = jnp.dot(ds, k32, preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(  # dSᵀ Q
-            ds, q32,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+        dq = jax.lax.dot_general(
+            ds, k32,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        dqkv_ref[0, :, lo:lo + head_dim] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, D + lo:D + lo + head_dim] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * D + lo:2 * D + lo + head_dim] = dv.astype(dqkv_ref.dtype)
+        dk = jax.lax.dot_general(  # dSᵀ Q
+            ds, q32,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, lo:lo + head_dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, D + lo:D + lo + head_dim] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * D + lo:2 * D + lo + head_dim] = dv.astype(dqkv_ref.dtype)
 
 
-def _specs(n_pad, width, count):
+def _specs(rows, n_pad, width, count):
     return [
-        pl.BlockSpec((1, n_pad, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((rows, n_pad, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         for _ in range(count)
     ]
+
+
+def _rows_per_program(B: int, n_pad: int, threeD: int, itemsize: int) -> int:
+    """Pick G so each program's VMEM working set stays well under budget."""
+    for g in (8, 4, 2, 1):
+        if B % g:
+            continue
+        qkv_bytes = g * n_pad * threeD * itemsize
+        score_bytes = g * n_pad * n_pad * 4
+        if qkv_bytes + 3 * score_bytes < 10 * 1024 * 1024:
+            return g
+    return 1
 
 
 def _forward_impl(qkv, num_heads, interpret, softmax_f32):
@@ -118,15 +145,16 @@ def _forward_impl(qkv, num_heads, interpret, softmax_f32):
     scale = 1.0 / math.sqrt(head_dim)
     n_pad = max(_round_up(N, 8), 8)
     padded = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
+    rows = _rows_per_program(B, n_pad, threeD, qkv.dtype.itemsize)
     kernel = functools.partial(
         _fwd_kernel, n_valid=N, num_heads=num_heads,
         head_dim=head_dim, scale=scale, f32=softmax_f32,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=_specs(n_pad, threeD, 1),
-        out_specs=_specs(n_pad, D, 1)[0],
+        grid=(B // rows,),
+        in_specs=_specs(rows, n_pad, threeD, 1),
+        out_specs=_specs(rows, n_pad, D, 1)[0],
         out_shape=jax.ShapeDtypeStruct((B, n_pad, D), qkv.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * num_heads * n_pad * n_pad * head_dim,
@@ -146,15 +174,16 @@ def _backward_impl(qkv, grad_out, num_heads, interpret, softmax_f32):
     n_pad = max(_round_up(N, 8), 8)
     qkv_p = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
     dout_p = jnp.pad(grad_out, ((0, 0), (0, n_pad - N), (0, 0)))
+    rows = _rows_per_program(B, n_pad, threeD, qkv.dtype.itemsize)
     kernel = functools.partial(
         _bwd_kernel, n_valid=N, num_heads=num_heads,
         head_dim=head_dim, scale=scale, f32=softmax_f32,
     )
     dqkv = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=_specs(n_pad, threeD, 1) + _specs(n_pad, D, 1),
-        out_specs=_specs(n_pad, threeD, 1)[0],
+        grid=(B // rows,),
+        in_specs=_specs(rows, n_pad, threeD, 1) + _specs(rows, n_pad, D, 1),
+        out_specs=_specs(rows, n_pad, threeD, 1)[0],
         out_shape=jax.ShapeDtypeStruct((B, n_pad, threeD), qkv.dtype),
         cost_estimate=pl.CostEstimate(
             flops=10 * B * num_heads * n_pad * n_pad * head_dim,

@@ -77,7 +77,7 @@ class PretrainSettings:
     keep_every_n_epochs: Optional[int] = 100
     no_train_dir: bool = False
     precision: str = "bf16"  # bf16 | fp32
-    use_pallas_attention: bool = False
+    use_pallas_attention: Optional[bool] = None  # None → on for TPU backends
     steps_per_call: int = 1  # optimizer steps fused per device dispatch
     limit_steps_per_epoch: Optional[int] = None  # smoke runs
     resume: Optional[str] = None  # "auto" | path | None
@@ -100,11 +100,17 @@ def model_config(settings: PretrainSettings) -> MAEConfig:
         raise ValueError(f"Unknown model preset {settings.model!r}")
     base = presets[settings.model]
     compute = jnp.bfloat16 if settings.precision == "bf16" else jnp.float32
+    use_pallas = settings.use_pallas_attention
+    if use_pallas is None:
+        # The batched-rows fused QKV kernel beats the XLA einsum path by
+        # ~11% on v5e (PERF_NOTES.md); interpret-mode Pallas on CPU is slow,
+        # so tests keep the XLA path.
+        use_pallas = jax.default_backend() != "cpu"
     encoder = dataclasses.replace(
         base.encoder,
         img_size=settings.image_size,
         compute_dtype=compute,
-        use_pallas_attention=settings.use_pallas_attention,
+        use_pallas_attention=use_pallas,
         # Unrolled blocks beat lax.scan by ~25% at runtime on TPU (XLA can
         # schedule across block boundaries); scan keeps CPU test compiles fast.
         unroll_blocks=jax.default_backend() != "cpu",
