@@ -128,7 +128,7 @@ def _specs(rows, n_pad, width, count):
 
 def _rows_per_program(B: int, n_pad: int, threeD: int, itemsize: int) -> int:
     """Pick G so each program's VMEM working set stays well under budget."""
-    for g in (8, 4, 2, 1):
+    for g in (32, 16, 8, 4, 2, 1):
         if B % g:
             continue
         qkv_bytes = g * n_pad * threeD * itemsize
