@@ -18,8 +18,8 @@ from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple
 import numpy as np
 
 from .bootstrapper import Bootstrapper
-from .common import CommonRun, build_cluster_map, compute_binary_metrics, load_common_run
-from .display import format_delta, format_value, format_with_ci
+from .common import CommonRun, load_common_run
+from .display import format_delta, format_value
 from .guardrails import GuardrailViolation, ResultLoader, build_report_manifest
 from .seed_checks import EXPECTED_SEEDS, ensure_expected_seeds
 

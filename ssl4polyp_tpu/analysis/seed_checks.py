@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Mapping, Optional, Sequence, Set
+from typing import Mapping, Sequence, Set
 
 __all__ = ["EXPECTED_SEEDS", "SeedCheckError", "ensure_expected_seeds"]
 

@@ -26,7 +26,7 @@ import io
 import math
 import random
 from pathlib import Path
-from typing import Mapping, Optional, Tuple
+from typing import Mapping, Optional
 
 import numpy as np
 

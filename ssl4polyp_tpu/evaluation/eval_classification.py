@@ -180,7 +180,7 @@ def evaluate(
     from ssl4polyp_tpu.metrics.thresholds import compute_youden_threshold
     from ssl4polyp_tpu.models.factory import build_classifier
     from ssl4polyp_tpu.parallel.mesh import build_mesh
-    from ssl4polyp_tpu.training.classification import make_forward_fn, TrainContext
+    from ssl4polyp_tpu.training.classification import make_forward_fn
     from ssl4polyp_tpu.utils.checkpoint import load_checkpoint
 
     checkpoint = Path(checkpoint)

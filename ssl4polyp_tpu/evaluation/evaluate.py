@@ -9,14 +9,10 @@ breakdowns run in numpy/sklearn.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from ssl4polyp_tpu.data.augment import normalize_batch
 from ssl4polyp_tpu.data.loader import HostDataLoader
 from ssl4polyp_tpu.data.packs import PackIndex
 from ssl4polyp_tpu.metrics import performance as perf

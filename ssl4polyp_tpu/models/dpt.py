@@ -25,8 +25,6 @@ from typing import Any, Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from . import layers
-
 Params = Dict[str, Any]
 
 __all__ = ["DPTConfig", "init_dpt", "dpt_forward", "TAP_BLOCKS"]

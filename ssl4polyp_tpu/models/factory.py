@@ -16,15 +16,14 @@ config and a jittable ``apply`` function.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import layers
 from .vit import ViTConfig, init_vit, vit_forward
 from .import_torch import (
     load_torch_state_dict,

@@ -20,7 +20,7 @@ via ``take_along_axis``, and stacked/scanned blocks.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

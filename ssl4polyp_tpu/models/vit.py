@@ -14,7 +14,7 @@ Capability parity with the reference classifier backbones
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Any, Dict, Optional
 
 import jax

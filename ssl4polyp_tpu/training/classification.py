@@ -20,13 +20,12 @@ schedules (exp5c) swap the scale tree at stage boundaries.
 from __future__ import annotations
 
 import dataclasses
-import hashlib
 import json
 import math
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Mapping, Optional, Tuple
+from typing import Any, Dict, List, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,13 +33,12 @@ import numpy as np
 import yaml
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ssl4polyp_tpu.configs import data_packs_root
 from ssl4polyp_tpu.configs.layered import load_layered_config
 from ssl4polyp_tpu.data.augment import augment_batch, normalize_batch
 from ssl4polyp_tpu.data.loader import HostDataLoader
 from ssl4polyp_tpu.data.packs import PackIndex, create_classification_datasets
 from ssl4polyp_tpu.evaluation import exports
-from ssl4polyp_tpu.evaluation.evaluate import binary_logit, evaluate_split
+from ssl4polyp_tpu.evaluation.evaluate import evaluate_split
 from ssl4polyp_tpu.metrics import thresholds as th
 from ssl4polyp_tpu.metrics.threshold_store import canonical_threshold_path
 from ssl4polyp_tpu.models.factory import Classifier, build_classifier

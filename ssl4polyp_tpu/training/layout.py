@@ -15,9 +15,9 @@ experiments interoperate (frozen-τ reuse, canonical SUN parents, reporters):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, Iterable, Mapping, Optional, Tuple
+from typing import Any, Iterable, Mapping, Optional, Tuple
 
 __all__ = [
     "DatasetLayout",

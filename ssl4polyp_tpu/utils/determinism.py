@@ -11,7 +11,6 @@ all device randomness from explicit PRNG keys.
 from __future__ import annotations
 
 import random
-from typing import Optional
 
 import numpy as np
 
