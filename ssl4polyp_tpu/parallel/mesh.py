@@ -46,7 +46,16 @@ def build_mesh(
                 f"{len(devices)} devices not divisible by model-parallel degree {model}"
             )
         data = len(devices) // model
-    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    needed = data * model
+    if len(devices) < needed:
+        raise ValueError(
+            f"build_mesh(data={data}, model={model}) needs {needed} devices, "
+            f"have {len(devices)} ({[str(d) for d in devices]}). On a single "
+            f"host, request a virtual mesh with JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={needed} set "
+            f"before JAX initialises."
+        )
+    grid = np.asarray(devices[:needed]).reshape(data, model)
     return Mesh(grid, axis_names=("data", "model"))
 
 
