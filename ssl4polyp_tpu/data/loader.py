@@ -93,63 +93,97 @@ class HostDataLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = int(epoch)
 
-    def _epoch_order(self) -> np.ndarray:
+    def _epoch_order(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-process (positions, real) for this epoch.
+
+        The global permuted order is padded with wrap-around duplicates up to
+        ``process_count * ceil(n / process_count)`` (the DistributedSampler
+        contract — reference ``packs.py:356-364``) so every process yields the
+        SAME number of batches and multi-host SPMD dispatch stays in lockstep.
+        Padded duplicates are flagged ``real=False`` and surface as
+        ``valid=False`` rows, so losses/metrics never double-count them.
+        """
         n = len(self.index)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             order = rng.permutation(n)
         else:
             order = np.arange(n)
-        # Contiguous per-process stripe of the permuted order.
+        real = np.ones((n,), dtype=bool)
         if self.process_count > 1:
             per = (n + self.process_count - 1) // self.process_count
+            pad = per * self.process_count - n
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+                real = np.concatenate([real, np.zeros((pad,), dtype=bool)])
             start = self.process_index * per
             order = order[start : start + per]
-        return order.astype(np.int64)
+            real = real[start : start + per]
+        return order.astype(np.int64), real
 
     def __len__(self) -> int:
-        n = len(self._epoch_order())
+        n = len(self._epoch_order()[0])
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _decode(self, position: int) -> np.ndarray:
+    def _decode(self, position: int) -> Optional[np.ndarray]:
         row = self.index.meta[position] if position < len(self.index.meta) else None
-        return decode_frame(
-            self.index.paths[position],
-            image_size=self.index.image_size,
-            row=row,
-            perturber=self._perturber,
-        )
+        try:
+            return decode_frame(
+                self.index.paths[position],
+                image_size=self.index.image_size,
+                row=row,
+                perturber=self._perturber,
+            )
+        except Exception:
+            return None  # corrupt/missing frame → valid=False slot
 
-    def _assemble(self, positions: np.ndarray, pool: ThreadPoolExecutor) -> Dict[str, np.ndarray]:
+    def _assemble(
+        self,
+        positions: np.ndarray,
+        real: np.ndarray,
+        pool: ThreadPoolExecutor,
+    ) -> Dict[str, np.ndarray]:
         B = self.batch_size
         size = self.index.image_size
         batch_images = np.zeros((B, size, size, 3), dtype=np.uint8)
         batch_labels = np.zeros((B,), dtype=np.int32)
         batch_valid = np.zeros((B,), dtype=bool)
         batch_index = np.full((B,), -1, dtype=np.int32)
+        decode_ok = np.ones((len(positions),), dtype=bool)
 
         if self._use_native:
             from ssl4polyp_tpu import native
 
             paths = [self.index.paths[int(p)] for p in positions]
-            decoded = native.decode_resize_batch(
+            result = native.decode_resize_batch_status(
                 paths, size, size, n_threads=self.num_workers,
                 out=batch_images[: len(positions)],
             )
-            if decoded is None:  # race: library became unavailable
+            if result is None:  # race: library became unavailable
                 self._use_native = False
-                return self._assemble(positions, pool)
+                return self._assemble(positions, real, pool)
+            _, decode_ok = result
+            # Native decode is JPEG-only; retry failures through PIL, which
+            # handles other container formats and raises precise errors.
+            for slot in np.flatnonzero(~decode_ok):
+                image = self._decode(int(positions[slot]))
+                if image is not None:
+                    batch_images[slot] = image
+                    decode_ok[slot] = True
         else:
             images = list(pool.map(self._decode, [int(p) for p in positions]))
             for slot, image in enumerate(images):
-                batch_images[slot] = image
+                if image is None:
+                    decode_ok[slot] = False
+                else:
+                    batch_images[slot] = image
 
         for slot, position in enumerate(positions):
             if self.index.labels is not None:
                 batch_labels[slot] = self.index.labels[int(position)]
-            batch_valid[slot] = True
+            batch_valid[slot] = bool(real[slot]) and bool(decode_ok[slot])
             batch_index[slot] = int(position)
         return {
             "image": batch_images,
@@ -159,7 +193,7 @@ class HostDataLoader:
         }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = self._epoch_order()
+        order, real = self._epoch_order()
         n_batches = len(self)
         if n_batches == 0:
             return
@@ -171,8 +205,8 @@ class HostDataLoader:
                 for b in range(n_batches):
                     if stop.is_set():
                         break
-                    chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    out_queue.put(self._assemble(chunk, pool))
+                    lo, hi = b * self.batch_size, (b + 1) * self.batch_size
+                    out_queue.put(self._assemble(order[lo:hi], real[lo:hi], pool))
             out_queue.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)

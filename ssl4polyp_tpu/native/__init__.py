@@ -18,20 +18,43 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["native_available", "decode_resize_batch", "decode_resize", "build_library"]
+__all__ = [
+    "native_available",
+    "decode_resize_batch",
+    "decode_resize_batch_status",
+    "decode_resize",
+    "build_library",
+]
 
 _SOURCE = Path(__file__).parent / "jpeg_loader.cpp"
 _LIB_PATH = Path(__file__).parent / "_jpeg_loader.so"
+_STAMP_PATH = Path(__file__).parent / "_jpeg_loader.src.sha256"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+def _source_digest() -> str:
+    import hashlib
+
+    return hashlib.sha256(_SOURCE.read_bytes()).hexdigest()
+
+
 def build_library(force: bool = False) -> Optional[Path]:
-    """Compile the shared library (cached); returns its path or None."""
+    """Compile the shared library from the bundled source; returns its path.
+
+    The cached ``.so`` is only reused when the recorded source SHA256 matches
+    the bundled ``jpeg_loader.cpp`` — a stale or foreign binary is never
+    loaded blindly (the library is rebuilt from source instead).
+    """
     global _build_failed
+    digest = _source_digest()
     if _LIB_PATH.exists() and not force:
-        return _LIB_PATH
+        try:
+            if _STAMP_PATH.read_text().strip() == digest:
+                return _LIB_PATH
+        except OSError:
+            pass
     if _build_failed and not force:
         return None
     try:
@@ -44,6 +67,7 @@ def build_library(force: bool = False) -> Optional[Path]:
             capture_output=True,
             timeout=120,
         )
+        _STAMP_PATH.write_text(digest + "\n")
         return _LIB_PATH
     except Exception:
         _build_failed = True
@@ -75,6 +99,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.decode_resize_batch.restype = ctypes.c_int
+        lib.decode_resize_batch_status.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.decode_resize_batch_status.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -106,19 +136,36 @@ def decode_resize_batch(
     """Decode a batch into (n, out_h, out_w, 3) uint8.
 
     Returns None when the native library is unavailable; failed individual
-    frames are zero-filled (callers treat all-zero frames as decode errors).
+    frames are zero-filled.  Use :func:`decode_resize_batch_status` when the
+    caller needs to know which frames failed.
     """
+    result = decode_resize_batch_status(paths, out_h, out_w, n_threads, out)
+    return None if result is None else result[0]
+
+
+def decode_resize_batch_status(
+    paths: Sequence[str | os.PathLike],
+    out_h: int,
+    out_w: int,
+    n_threads: int = 8,
+    out: Optional[np.ndarray] = None,
+) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Decode a batch; returns ``(images, ok)`` where ``ok`` is a per-frame
+    bool array (False = decode failed, frame zero-filled), or None when the
+    native library is unavailable."""
     lib = _load()
     if lib is None:
         return None
     n = len(paths)
     if out is None:
         out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
+    status = np.zeros((n,), dtype=np.uint8)
     encoded: List[bytes] = [str(p).encode() for p in paths]
     array_type = ctypes.c_char_p * n
-    lib.decode_resize_batch(
+    lib.decode_resize_batch_status(
         array_type(*encoded), n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_h, out_w, int(n_threads),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
-    return out
+    return out, status.astype(bool)

@@ -133,9 +133,11 @@ int decode_resize(const char* path, uint8_t* out, int out_h, int out_w) {
 }
 
 // Decodes n files into a contiguous (n, out_h, out_w, 3) buffer using a
-// thread pool.  Returns the number of successful decodes.
-int decode_resize_batch(const char** paths, int n, uint8_t* out,
-                        int out_h, int out_w, int n_threads) {
+// thread pool.  Per-frame success is written to `status` (1 = decoded,
+// 0 = failed; may be null).  Returns the number of successful decodes.
+int decode_resize_batch_status(const char** paths, int n, uint8_t* out,
+                               int out_h, int out_w, int n_threads,
+                               uint8_t* status) {
   if (n <= 0) return 0;
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;
@@ -149,11 +151,13 @@ int decode_resize_batch(const char** paths, int n, uint8_t* out,
       int index = next.fetch_add(1);
       if (index >= n) break;
       uint8_t* slot = out + frame_bytes * index;
-      if (decode_resize(paths[index], slot, out_h, out_w) == 0) {
+      const bool success = decode_resize(paths[index], slot, out_h, out_w) == 0;
+      if (success) {
         ok.fetch_add(1);
       } else {
         std::memset(slot, 0, frame_bytes);
       }
+      if (status) status[index] = success ? 1 : 0;
     }
   };
 
@@ -162,6 +166,12 @@ int decode_resize_batch(const char** paths, int n, uint8_t* out,
   for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
   return ok.load();
+}
+
+int decode_resize_batch(const char** paths, int n, uint8_t* out,
+                        int out_h, int out_w, int n_threads) {
+  return decode_resize_batch_status(paths, n, out, out_h, out_w, n_threads,
+                                    nullptr);
 }
 
 }  // extern "C"

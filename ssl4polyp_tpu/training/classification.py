@@ -672,7 +672,21 @@ def run_classification_training(
             )
 
             train_loader.set_epoch(epoch)
-            losses = []
+            losses: list = []
+            pending_losses: list = []  # device scalars, materialized in chunks
+
+            def drain_losses() -> None:
+                # Convert accumulated device losses to floats in one readback
+                # burst; every step is averaged into train_loss and checked
+                # for finiteness (reference averages all iterations), while
+                # the slow relay only pays a sync at log points / epoch end.
+                for offset, value in enumerate(np.asarray(pending_losses, dtype=np.float64)):
+                    if not math.isfinite(value):
+                        step_at = global_step - len(pending_losses) + offset + 1
+                        raise FloatingPointError(f"non-finite loss at step {step_at}")
+                    losses.append(float(value))
+                pending_losses.clear()
+
             epoch_t0 = time.perf_counter()
             for it, batch in enumerate(train_loader):
                 if it >= steps_per_epoch:
@@ -707,11 +721,10 @@ def run_classification_training(
                     key, jnp.float32(lr), lr_scale, wd_scale,
                 )
                 global_step += 1
+                pending_losses.append(metrics["loss"])
                 if it % plan.log_interval == 0:
-                    loss_value = float(metrics["loss"])
-                    if not math.isfinite(loss_value):
-                        raise FloatingPointError(f"non-finite loss at step {global_step}")
-                    losses.append(loss_value)
+                    drain_losses()
+                    loss_value = losses[-1]
                     rate = throughput.tick(plan.batch_size * plan.log_interval)
                     logger.scalar("train/loss", loss_value, global_step)
                     logger.scalar("train/lr", lr, global_step)
@@ -719,6 +732,7 @@ def run_classification_training(
                     if rate:
                         logger.scalar("train/images_per_sec", rate, global_step)
 
+            drain_losses()
             train_loss_last = float(np.mean(losses)) if losses else float("nan")
             epochs_run = epoch + 1
             last_epoch = epoch

@@ -427,27 +427,17 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
             signal.signal(sig, handler)
         logger.close()
 
-    save_epoch(settings.epochs - 1)
+    # The final epoch was already checkpointed inside the loop (the
+    # `epoch == settings.epochs - 1` branch of the save condition).
     return summary
 
 
 def cli_main(argv: Optional[list] = None) -> None:
-    import argparse
+    from ssl4polyp_tpu.utils.cli import parse_into_dataclass
 
-    parser = argparse.ArgumentParser(description="MAE pretraining (TPU)")
-    for field in dataclasses.fields(PretrainSettings):
-        name = "--" + field.name.replace("_", "-")
-        if field.type == "bool" or isinstance(field.default, bool):
-            parser.add_argument(name, action="store_true", default=field.default)
-        else:
-            caster = str
-            if isinstance(field.default, (int, float)):
-                caster = type(field.default)
-            elif field.name in {"limit_steps_per_epoch", "keep_every_n_epochs"}:
-                caster = int
-            parser.add_argument(name, type=caster, default=field.default)
-    args = parser.parse_args(argv)
-    settings = PretrainSettings(**vars(args))
+    settings = parse_into_dataclass(
+        PretrainSettings, argv, description="MAE pretraining (TPU)"
+    )
     run_pretraining(settings)
 
 

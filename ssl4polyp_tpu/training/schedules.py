@@ -100,7 +100,13 @@ class EarlyStopper:
     _bad_epochs: int = 0
 
     def update(self, epoch: int, metric: float) -> bool:
-        """Record this epoch's metric; returns True when training should stop."""
+        """Record this epoch's metric; returns True when training should stop.
+
+        ``patience <= 0`` disables early stopping entirely (matching the
+        reference's ``_should_trigger_early_stop``, which treats a
+        non-positive patience as "never stop") while still tracking the
+        best metric/epoch for checkpoint selection.
+        """
         improved = False
         if self._best is None:
             improved = True
@@ -114,6 +120,8 @@ class EarlyStopper:
             self._bad_epochs = 0
         else:
             self._bad_epochs += 1
+        if self.patience <= 0:
+            return False
         if epoch + 1 < self.min_epochs:
             return False
         return self._bad_epochs >= self.patience

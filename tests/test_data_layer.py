@@ -162,3 +162,45 @@ def test_augment_batch_properties(rng_key):
         [0.229, 0.224, 0.225]
     )
     np.testing.assert_allclose(np.asarray(norm), manual, rtol=1e-5, atol=1e-5)
+
+
+def test_uneven_process_sharding_lockstep(image_pack):
+    # 8 frames over 3 processes: every process must yield the SAME number of
+    # batches (wrap-around padding, DistributedSampler contract) with the
+    # padded duplicates masked valid=False so nothing is double-counted.
+    datasets = create_classification_datasets(train_spec=image_pack, image_size=32)
+    lengths, valid_indices = [], []
+    for rank in range(3):
+        loader = HostDataLoader(
+            datasets["train"], batch_size=2, seed=7, num_workers=1,
+            process_index=rank, process_count=3, drop_last=False,
+        )
+        loader.set_epoch(0)
+        batches = list(loader)
+        lengths.append(len(batches))
+        assert len(batches) == len(loader)
+        valid_indices.append(
+            np.concatenate([b["index"][b["valid"]] for b in batches])
+        )
+    assert len(set(lengths)) == 1  # lockstep dispatch counts
+    union = np.concatenate(valid_indices)
+    assert len(union) == 8
+    assert len(np.unique(union)) == 8
+
+
+def test_corrupt_frame_marked_invalid(image_pack, tmp_path):
+    datasets = create_classification_datasets(train_spec=image_pack, image_size=32)
+    index = datasets["train"]
+    # Corrupt one underlying file: both decode paths must flag the slot
+    # valid=False instead of training on a silent black frame.
+    victim = index.paths[0]
+    with open(victim, "wb") as handle:
+        handle.write(b"not a jpeg at all")
+    for use_native in (False, True):
+        loader = HostDataLoader(
+            index, batch_size=8, shuffle=False, num_workers=1,
+            drop_last=False, use_native=use_native,
+        )
+        batch = next(iter(loader))
+        assert not batch["valid"][0]
+        assert batch["valid"][1:].all()

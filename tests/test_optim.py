@@ -138,3 +138,13 @@ def test_early_stopper():
     assert stopper.update(3, 0.7)  # two bad epochs
     assert stopper.best == 0.5
     assert stopper.best_epoch == 1
+
+
+def test_early_stopper_patience_zero_disables():
+    # patience<=0 means early stopping is OFF (reference
+    # _should_trigger_early_stop semantics), not stop-immediately.
+    stopper = EarlyStopper(patience=0, min_delta=0.0, min_epochs=0)
+    for epoch, metric in enumerate([1.0, 0.9, 0.95, 0.99, 1.2]):
+        assert not stopper.update(epoch, metric)
+    assert stopper.best == 0.9
+    assert stopper.best_epoch == 1

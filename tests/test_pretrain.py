@@ -118,3 +118,32 @@ def test_steps_per_call_equivalence(image_folder, tmp_path, monkeypatch):
     flat2 = jax.tree_util.tree_leaves(ck2["payload"]["params"])
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_cli_roundtrip_types():
+    # Round-trip the full flag surface (reference main_pretrain.py:48-135):
+    # Optional-typed numerics must parse as numbers and booleans must accept
+    # explicit true/false values.
+    from ssl4polyp_tpu.utils.cli import parse_into_dataclass
+
+    settings = parse_into_dataclass(PretrainSettings, [
+        "--data-root", "/tmp/x",
+        "--save-freq-mins", "5",
+        "--keep-every-n-epochs", "50",
+        "--limit-steps-per-epoch", "3",
+        "--use-pallas-attention", "false",
+        "--norm-pix-loss",
+        "--no-train-dir", "true",
+        "--blr", "2e-4",
+    ])
+    assert settings.save_freq_mins == 5.0
+    assert isinstance(settings.save_freq_mins, float)
+    assert settings.keep_every_n_epochs == 50
+    assert settings.limit_steps_per_epoch == 3
+    assert settings.use_pallas_attention is False
+    assert settings.norm_pix_loss is True
+    assert settings.no_train_dir is True
+    assert settings.blr == 2e-4
+    # defaults survive
+    assert settings.resume is None
+    assert settings.save_freq_epochs == 20
