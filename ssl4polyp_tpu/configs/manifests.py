@@ -381,8 +381,12 @@ def snapshot_provenance(
     ``snapshot_dir/manifest_snapshot`` and writes ``roots.json``,
     ``git-commit.txt``, ``pip-freeze.txt`` and ``accelerator.json`` (the
     TPU-native analogue of the reference's ``cuda.json`` —
-    ``manifests.py:510-537``).
+    ``manifests.py:510-537``).  Primary host only.
     """
+    from ssl4polyp_tpu.parallel.multihost import is_primary
+
+    if not is_primary():
+        return
     snapshot_dir = Path(snapshot_dir)
     mirror = snapshot_dir / "manifest_snapshot"
     mirror.mkdir(parents=True, exist_ok=True)

@@ -250,7 +250,9 @@ def evaluate(
     summary["checkpoint"] = str(checkpoint)
     summary["n_frames"] = int(len(results["targets"]))
 
-    if output_dir is not None:
+    from ssl4polyp_tpu.parallel.multihost import is_primary
+
+    if output_dir is not None and is_primary():
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         lines = [f"checkpoint: {checkpoint}", f"tau: {resolved_tau}"]
@@ -271,6 +273,10 @@ def evaluate(
 
 def cli_main(argv: Optional[List[str]] = None) -> None:
     import argparse
+
+    from ssl4polyp_tpu.parallel.multihost import initialize_multihost
+
+    initialize_multihost()
 
     parser = argparse.ArgumentParser(description="Standalone classification evaluation")
     parser.add_argument("--checkpoint", default=None, help="explicit checkpoint path")

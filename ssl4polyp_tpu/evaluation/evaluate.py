@@ -173,14 +173,14 @@ def evaluate_split(
     all_logits: List[np.ndarray] = []
     all_targets: List[np.ndarray] = []
     all_positions: List[np.ndarray] = []
+    all_valid: List[np.ndarray] = []
     for batch_number, batch in enumerate(loader):
         if limit_batches is not None and batch_number >= limit_batches:
             break
-        logits = np.asarray(forward(batch["image"]))
-        valid = batch["valid"]
-        all_logits.append(logits[valid])
-        all_targets.append(batch["label"][valid])
-        all_positions.append(batch["index"][valid])
+        all_logits.append(np.asarray(forward(batch["image"])))
+        all_targets.append(batch["label"])
+        all_positions.append(batch["index"])
+        all_valid.append(batch["valid"])
 
     if not all_logits:
         raise ValueError(f"Evaluation over split {split_name!r} saw no batches")
@@ -188,6 +188,31 @@ def evaluate_split(
     logits = np.concatenate(all_logits)
     targets = np.concatenate(all_targets)
     positions = np.concatenate(all_positions)
+    valid = np.concatenate(all_valid)
+
+    # Multi-host: every process evaluated a disjoint loader stripe (lockstep
+    # batch counts, padding masked valid=False). All-gather the fixed-shape
+    # per-host arrays so EVERY host computes identical metrics/thresholds —
+    # divergent host-side decisions (early stop, best checkpoint, τ) would
+    # desync SPMD. Replaces the reference's rank-0 gather + broadcast
+    # (train_classification.py:6826-6837).
+    try:
+        import jax
+
+        process_count = jax.process_count()
+    except Exception:
+        process_count = 1
+    if process_count > 1:
+        from jax.experimental import multihost_utils
+
+        logits, targets, positions, valid = (
+            np.reshape(multihost_utils.process_allgather(arr), (-1, *arr.shape[1:]))
+            for arr in (logits, targets, positions, valid)
+        )
+
+    logits = logits[valid]
+    targets = targets[valid]
+    positions = positions[valid]
 
     losses = per_sample_losses(
         logits, targets, mode=loss_mode, pos_weight=pos_weight, class_weights=class_weights
@@ -218,6 +243,28 @@ def evaluate_split(
     )
 
     meta_rows = [index.meta[int(p)] if 0 <= int(p) < len(index.meta) else {} for p in positions]
+
+    # ---- per-case breakdown (all splits) ---------------------------------
+    # The reference's test() emits per-case metrics on every eval split
+    # (train_classification.py:4653-5495), not only under perturbation runs.
+    all_case_ids = np.asarray(
+        [str(row.get("case_id", "") or "") for row in meta_rows], dtype=object
+    )
+    if any(all_case_ids != ""):
+        from sklearn.metrics import f1_score, recall_score
+
+        case_metrics: Dict[str, Dict[str, float]] = {}
+        for case in sorted({c for c in all_case_ids.tolist() if c}):
+            mask = all_case_ids == case
+            case_metrics[case] = {
+                "recall": float(
+                    recall_score(targets[mask], preds[mask], zero_division=0)
+                ),
+                "f1": float(f1_score(targets[mask], preds[mask], zero_division=0)),
+                "count": float(int(mask.sum())),
+            }
+        if case_metrics:
+            results["case_metrics"] = case_metrics
 
     # ---- morphology strata (exp3) ---------------------------------------
     if morphology_eval:

@@ -11,22 +11,31 @@ of them) can consume either framework's runs:
 * metrics.json blocks: ``run``, ``provenance``, ``data`` (path+sha256 per
   split), ``thresholds`` (primary/sensitivity records + values + sources)
   matching the ResultLoader guardrails (``analysis/result_loader.py``).
+
+All exporters build their artifact bytes in memory on EVERY host (so
+digests entering metrics.json are identical across processes) and write to
+disk only on the primary host (reference rank-0 guards,
+``util/misc.py:171``).
 """
 
 from __future__ import annotations
 
 import csv
 import hashlib
-import json
+import io
 import math
 import re
 from collections import OrderedDict
 from pathlib import Path
-from typing import Any, Dict, Mapping, Optional, Sequence
+from typing import Any, Dict, Mapping, NamedTuple, Optional, Sequence
 
 import numpy as np
 
+from ssl4polyp_tpu.parallel.multihost import is_primary  # noqa: F401 (re-export for tests)
+from ssl4polyp_tpu.parallel import multihost as _multihost
+
 __all__ = [
+    "FrameOutputsResult",
     "export_frame_outputs",
     "export_curve_sets",
     "sha256_file",
@@ -94,6 +103,11 @@ def _polypgen_sequence(frame_id: str, declared: Optional[str]) -> Optional[str]:
     return match.group(1) if match else None
 
 
+class FrameOutputsResult(NamedTuple):
+    path: Path
+    sha256: str
+
+
 def export_frame_outputs(
     path: str | Path,
     *,
@@ -102,10 +116,11 @@ def export_frame_outputs(
     targets: Sequence[int],
     preds: Sequence[int],
     dataset_name: Optional[str] = None,
-) -> Path:
-    """Write the per-frame outputs CSV; returns the path."""
+) -> FrameOutputsResult:
+    """Write the per-frame outputs CSV (primary host only); returns
+    ``(path, sha256)`` — the digest is computed from the in-memory bytes on
+    every host."""
     path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
     name = str(dataset_name or "").strip().lower()
     polypgen_layout = name.startswith("polypgen_fewshot") or name.startswith("polypgen_clean")
 
@@ -117,45 +132,52 @@ def export_frame_outputs(
             "origin", "center_id", "sequence_id", "morphology",
         ]
 
-    with path.open("w", newline="") as handle:
-        writer = csv.DictWriter(handle, fieldnames=fieldnames)
-        writer.writeheader()
-        for idx in range(len(probabilities)):
-            row = metadata_rows[idx] if idx < len(metadata_rows) else {}
-            frame_id = _meta_value(
-                row, ("frame_id", "orig_frame_id", "frame", "frame_path", "image_id")
-            ) or f"idx_{idx}"
-            origin = _meta_value(row, ("origin", "store_id", "dataset", "source_dataset"))
-            payload: Dict[str, Any] = {
-                "frame_id": frame_id,
-                "prob": float(probabilities[idx]),
-                "label": int(targets[idx]) if idx < len(targets) else None,
-                "pred": int(preds[idx]) if idx < len(preds) else None,
-                "origin": origin,
-            }
-            if polypgen_layout:
-                case_id = _meta_value(row, ("case_id", "case", "study_id"))
-                center = _meta_value(
-                    row, ("center_id", "centre_id", "center", "centre", "hospital_id", "hospital")
-                )
-                payload["center_id"] = _polypgen_center(center) or _polypgen_center(case_id)
-                payload["sequence_id"] = _polypgen_sequence(
-                    frame_id, _meta_value(row, ("sequence_id", "sequence"))
-                )
-            else:
-                payload["case_id"] = _meta_value(row, ("case_id", "sequence_id", "case", "study_id"))
-                payload["center_id"] = _meta_value(
-                    row,
-                    ("center_id", "centre_id", "center", "centre",
-                     "hospital_id", "hospital", "origin", "store_id"),
-                )
-                payload["sequence_id"] = _meta_value(
-                    row, ("sequence_id", "sequence", "case_id", "case", "study_id")
-                )
-                morphology = row.get("morphology") if isinstance(row, Mapping) else None
-                payload["morphology"] = str(morphology).strip() if morphology not in (None, "") else None
-            writer.writerow({key: payload.get(key) for key in fieldnames})
-    return path
+    buffer = io.StringIO(newline="")
+    writer = csv.DictWriter(buffer, fieldnames=fieldnames)
+    writer.writeheader()
+    for idx in range(len(probabilities)):
+        row = metadata_rows[idx] if idx < len(metadata_rows) else {}
+        frame_id = _meta_value(
+            row, ("frame_id", "orig_frame_id", "frame", "frame_path", "image_id")
+        ) or f"idx_{idx}"
+        origin = _meta_value(row, ("origin", "store_id", "dataset", "source_dataset"))
+        payload: Dict[str, Any] = {
+            "frame_id": frame_id,
+            "prob": float(probabilities[idx]),
+            "label": int(targets[idx]) if idx < len(targets) else None,
+            "pred": int(preds[idx]) if idx < len(preds) else None,
+            "origin": origin,
+        }
+        if polypgen_layout:
+            case_id = _meta_value(row, ("case_id", "case", "study_id"))
+            center = _meta_value(
+                row, ("center_id", "centre_id", "center", "centre", "hospital_id", "hospital")
+            )
+            payload["center_id"] = _polypgen_center(center) or _polypgen_center(case_id)
+            payload["sequence_id"] = _polypgen_sequence(
+                frame_id, _meta_value(row, ("sequence_id", "sequence"))
+            )
+        else:
+            payload["case_id"] = _meta_value(row, ("case_id", "sequence_id", "case", "study_id"))
+            payload["center_id"] = _meta_value(
+                row,
+                ("center_id", "centre_id", "center", "centre",
+                 "hospital_id", "hospital", "origin", "store_id"),
+            )
+            payload["sequence_id"] = _meta_value(
+                row, ("sequence_id", "sequence", "case_id", "case", "study_id")
+            )
+            morphology = row.get("morphology") if isinstance(row, Mapping) else None
+            payload["morphology"] = str(morphology).strip() if morphology not in (None, "") else None
+        writer.writerow({key: payload.get(key) for key in fieldnames})
+
+    content = buffer.getvalue()
+    digest = hashlib.sha256(content.encode("utf-8")).hexdigest()
+    if _multihost.is_primary():
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with path.open("w", newline="") as handle:
+            handle.write(content)
+    return FrameOutputsResult(path, digest)
 
 
 def export_curve_sets(
@@ -205,26 +227,32 @@ def export_curve_sets(
     base_name = f"{stem_path.name}_{segment}"
     roc_path = stem_path.with_name(f"{base_name}_roc_curve.csv")
     pr_path = stem_path.with_name(f"{base_name}_pr_curve.csv")
-    roc_path.parent.mkdir(parents=True, exist_ok=True)
 
-    with roc_path.open("w", newline="") as handle:
-        writer = csv.DictWriter(handle, fieldnames=["threshold", "tpr", "fpr", "tp", "fp", "tn", "fn"])
+    def render(fieldnames, rows) -> str:
+        buffer = io.StringIO(newline="")
+        writer = csv.DictWriter(buffer, fieldnames=fieldnames)
         writer.writeheader()
-        writer.writerows(roc_rows)
-    with pr_path.open("w", newline="") as handle:
-        writer = csv.DictWriter(
-            handle, fieldnames=["threshold", "precision", "recall", "f1", "tp", "fp", "tn", "fn"]
-        )
-        writer.writeheader()
-        writer.writerows(pr_rows)
+        writer.writerows(rows)
+        return buffer.getvalue()
+
+    roc_content = render(["threshold", "tpr", "fpr", "tp", "fp", "tn", "fn"], roc_rows)
+    pr_content = render(
+        ["threshold", "precision", "recall", "f1", "tp", "fp", "tn", "fn"], pr_rows
+    )
+    if _multihost.is_primary():
+        roc_path.parent.mkdir(parents=True, exist_ok=True)
+        with roc_path.open("w", newline="") as handle:
+            handle.write(roc_content)
+        with pr_path.open("w", newline="") as handle:
+            handle.write(pr_content)
 
     return {
         "points": int(grid_points),
         "roc_csv": roc_path.name,
         "pr_csv": pr_path.name,
         "path": roc_path.name,
-        "sha256": sha256_file(roc_path),
-        "pr_sha256": sha256_file(pr_path),
+        "sha256": hashlib.sha256(roc_content.encode("utf-8")).hexdigest(),
+        "pr_sha256": hashlib.sha256(pr_content.encode("utf-8")).hexdigest(),
     }
 
 

@@ -55,6 +55,10 @@ def format_threshold_key(dataset: str, split: str, policy: str) -> str:
 
 
 def save_thresholds(path: str | Path, thresholds: Mapping[str, float]) -> None:
+    from ssl4polyp_tpu.parallel.multihost import is_primary
+
+    if not is_primary():
+        return
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     document = {"thresholds": {k: float(v) for k, v in thresholds.items()}}

@@ -56,7 +56,13 @@ def initialize_multihost(
 
 
 def is_primary() -> bool:
-    return jax.process_index() == 0
+    """True on the process that owns artifact writes (reference rank-0
+    guards).  Falls back to True when no JAX runtime is available so the
+    accelerator-free layers (configs, analysis) stay usable standalone."""
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
 
 
 def process_info() -> dict:

@@ -43,6 +43,7 @@ from ssl4polyp_tpu.metrics import thresholds as th
 from ssl4polyp_tpu.metrics.threshold_store import canonical_threshold_path
 from ssl4polyp_tpu.models.factory import Classifier, build_classifier
 from ssl4polyp_tpu.parallel.mesh import build_mesh
+from ssl4polyp_tpu.parallel.multihost import initialize_multihost, is_primary
 from ssl4polyp_tpu.training import optim
 from ssl4polyp_tpu.training.layout import RunLayout, format_selection_tag, resolve_run_layout
 from ssl4polyp_tpu.training.protocol import FinetuneStage, RunPlan
@@ -459,9 +460,10 @@ def run_classification_training(
         },
         "stem": layout.stem,
     }
-    (layout.output_dir / f"{layout.stem}.config.yaml").write_text(
-        yaml.safe_dump(json.loads(json.dumps(snapshot, default=str))), encoding="utf-8"
-    )
+    if is_primary():
+        (layout.output_dir / f"{layout.stem}.config.yaml").write_text(
+            yaml.safe_dump(json.loads(json.dumps(snapshot, default=str))), encoding="utf-8"
+        )
 
     val_split_path: Optional[str] = None
     data_block = exports.build_data_block(ctx.dataset_summary)
@@ -530,7 +532,7 @@ def run_classification_training(
         tau0, record0 = _resolve_policy_tau(ctx, "sun_val_frozen", None, -1, None, val_split_path)
         zs = eval_split_now("test", params, tau0, plan.limit_test_batches)
         zero_shot_outputs = layout.output_dir / f"{layout.stem}_zeroshot_outputs.csv"
-        exports.export_frame_outputs(
+        zs_export = exports.export_frame_outputs(
             zero_shot_outputs,
             metadata_rows=zs["metadata_rows"],
             probabilities=zs["probabilities"],
@@ -542,7 +544,7 @@ def run_classification_training(
             "tau": tau0,
             "metrics": exports.metric_block_for_export(zs),
             "outputs_csv": zero_shot_outputs.name,
-            "outputs_csv_sha256": exports.sha256_file(zero_shot_outputs),
+            "outputs_csv_sha256": zs_export.sha256,
         }
         logger.text(
             f"zero-shot: AUROC {zs.get('auroc', float('nan')):.4f} at frozen tau {tau0}"
@@ -855,7 +857,7 @@ def run_classification_training(
     if "test" in ctx.datasets:
         test_results = eval_split_now("test", params, primary_tau, plan.limit_test_batches)
         outputs_csv_path = layout.output_dir / f"{layout.stem}_test_outputs.csv"
-        exports.export_frame_outputs(
+        outputs_export = exports.export_frame_outputs(
             outputs_csv_path,
             metadata_rows=test_results["metadata_rows"],
             probabilities=test_results["probabilities"],
@@ -928,10 +930,10 @@ def run_classification_training(
         train_seed=plan.seed,
         dataset_summary=ctx.dataset_summary,
         test_outputs_csv=outputs_csv_path.name if outputs_csv_path else None,
-        test_outputs_sha256=exports.sha256_file(outputs_csv_path) if outputs_csv_path else None,
+        test_outputs_sha256=outputs_export.sha256 if outputs_csv_path else None,
         zero_shot_outputs_csv=zero_shot_outputs.name if zero_shot_outputs else None,
         zero_shot_outputs_sha256=(
-            exports.sha256_file(zero_shot_outputs) if zero_shot_outputs else None
+            zero_shot_block["outputs_csv_sha256"] if zero_shot_block else None
         ),
         subset_percent=plan.dataset_layout.percent,
         pack_seed=plan.dataset_layout.dataset_seed,
@@ -969,6 +971,8 @@ def run_classification_training(
         payload["val"] = exports.metric_block_for_export(val_results)
     if test_results is not None:
         payload["test_primary"] = exports.metric_block_for_export(test_results)
+        if "case_metrics" in test_results:
+            payload["test_per_case"] = test_results["case_metrics"]
         if "morphology_metrics" in test_results:
             payload["test_morphology"] = {
                 key: exports.metric_block_for_export(value)
@@ -1005,7 +1009,8 @@ def run_classification_training(
     if plan.sensitivity_threshold_policy:
         payload["sensitivity_threshold_policy"] = plan.sensitivity_threshold_policy
 
-    layout.metrics_path.write_text(json.dumps(payload, indent=2, default=_json_default))
+    if is_primary():
+        layout.metrics_path.write_text(json.dumps(payload, indent=2, default=_json_default))
 
     # _last checkpoint + metrics (reference :7557-7701)
     if not ctx.eval_only and last_epoch >= 0:
@@ -1024,7 +1029,8 @@ def run_classification_training(
         )
         update_pointer(layout.output_dir / f"{layout.stem}_last.ckpt", last_path)
         last_metrics_path = layout.output_dir / f"{layout.stem}_last.metrics.json"
-        last_metrics_path.write_text(json.dumps(payload, indent=2, default=_json_default))
+        if is_primary():
+            last_metrics_path.write_text(json.dumps(payload, indent=2, default=_json_default))
 
     logger.close()
     summary = {
@@ -1073,6 +1079,10 @@ def cli_main(argv: Optional[List[str]] = None) -> None:
 
     from ssl4polyp_tpu.training.protocol import resolve_run_plan
 
+    # Multi-host DCN init (no-op single process) — reference DDP init,
+    # train_classification.py:6017-6027.
+    initialize_multihost()
+
     parser = argparse.ArgumentParser(description="Classification fine-tuning (TPU)")
     parser.add_argument("--exp-config", required=True)
     parser.add_argument("--model-key", default=None)
@@ -1090,10 +1100,22 @@ def cli_main(argv: Optional[List[str]] = None) -> None:
         "--resume", action="store_true",
         help="resume from the run's checkpoint pointer / newest epoch checkpoint",
     )
+    # First-class smoke-run limits (reference train_classification.py:7932-7958);
+    # equivalent to --override but documented and typed.
+    parser.add_argument("--limit-train-batches", type=int, default=None)
+    parser.add_argument("--limit-val-batches", type=int, default=None)
+    parser.add_argument("--limit-test-batches", type=int, default=None)
+    parser.add_argument("--max-train-steps", type=int, default=None)
     args = parser.parse_args(argv)
 
     cfg = load_layered_config(args.exp_config)
     overrides: Dict[str, Any] = {}
+    for limit_key in (
+        "limit_train_batches", "limit_val_batches", "limit_test_batches", "max_train_steps",
+    ):
+        value = getattr(args, limit_key)
+        if value is not None:
+            overrides[limit_key] = int(value)
     for item in args.override:
         key, _, raw = item.partition("=")
         node = overrides

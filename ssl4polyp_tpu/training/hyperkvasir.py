@@ -43,6 +43,10 @@ def hyperkvasir_settings(
 def main(argv: Optional[list] = None) -> None:
     import argparse
 
+    from ssl4polyp_tpu.parallel.multihost import initialize_multihost
+
+    initialize_multihost()
+
     parser = argparse.ArgumentParser(description="Hyperkvasir MAE pretraining (paper settings)")
     parser.add_argument("--data-root", required=True)
     parser.add_argument("--output-dir", default="checkpoints/pretrained/vit_b/hyperkvasir")

@@ -433,8 +433,12 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
 
 
 def cli_main(argv: Optional[list] = None) -> None:
+    from ssl4polyp_tpu.parallel.multihost import initialize_multihost
     from ssl4polyp_tpu.utils.cli import parse_into_dataclass
 
+    # Multi-host DCN init (no-op single process) — reference
+    # misc.init_distributed_mode, util/misc.py:217-249.
+    initialize_multihost()
     settings = parse_into_dataclass(
         PretrainSettings, argv, description="MAE pretraining (TPU)"
     )

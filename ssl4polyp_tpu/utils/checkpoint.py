@@ -48,10 +48,17 @@ def _to_numpy(tree: Any) -> Any:
 
 
 def save_checkpoint(path: str | Path, payload: Dict[str, Any], meta: Optional[Dict[str, Any]] = None) -> Path:
-    """Serialise ``payload`` (pytrees of arrays + JSON-safe leaves) to ``path``."""
+    """Serialise ``payload`` (pytrees of arrays + JSON-safe leaves) to ``path``.
+
+    Multi-host: only the primary process writes (reference rank-0 save guard,
+    ``util/misc.py:306-335``); other hosts return the path untouched."""
     from flax import serialization
 
+    from ssl4polyp_tpu.parallel.multihost import is_primary
+
     path = Path(path)
+    if not is_primary():
+        return path
     path.parent.mkdir(parents=True, exist_ok=True)
     document = {"payload": _to_numpy(payload), "meta": meta or {}}
     data = serialization.msgpack_serialize(document)
@@ -82,7 +89,11 @@ def load_checkpoint_meta(path: str | Path) -> Dict[str, Any]:
 
 
 def update_pointer(pointer: str | Path, target: str | Path) -> None:
-    """Point ``pointer`` at ``target`` (symlink, copy fallback)."""
+    """Point ``pointer`` at ``target`` (symlink, copy fallback; primary only)."""
+    from ssl4polyp_tpu.parallel.multihost import is_primary
+
+    if not is_primary():
+        return
     pointer = Path(pointer)
     target = Path(target)
     try:
@@ -99,7 +110,11 @@ def cleanup_checkpoints(
     keep_last: int = 2,
     keep_every_n_epochs: Optional[int] = None,
 ) -> List[Path]:
-    """Delete stale epoch checkpoints; returns the removed paths."""
+    """Delete stale epoch checkpoints (primary only); returns removed paths."""
+    from ssl4polyp_tpu.parallel.multihost import is_primary
+
+    if not is_primary():
+        return []
     directory = Path(directory)
     matcher = re.compile(pattern)
     found: List[tuple[int, Path]] = []

@@ -37,14 +37,24 @@ class RunLogger:
         stem: str,
         enable_tensorboard: bool = True,
         echo: bool = True,
+        primary: Optional[bool] = None,
     ) -> None:
+        if primary is None:
+            from ssl4polyp_tpu.parallel.multihost import is_primary
+
+            primary = is_primary()
+        self.primary = bool(primary)
         self.output_dir = Path(output_dir)
-        self.output_dir.mkdir(parents=True, exist_ok=True)
         self.stem = stem
-        self.echo = echo
+        self.echo = echo and self.primary
         self.text_path = self.output_dir / f"{stem}.log"
         self.jsonl_path = self.output_dir / f"{stem}.jsonl"
         self.tb = _NoOpWriter()
+        if not self.primary:
+            # Non-primary hosts keep the API but write nothing (reference
+            # master-only sinks, util/misc.py:171).
+            return
+        self.output_dir.mkdir(parents=True, exist_ok=True)
         if enable_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -66,6 +76,8 @@ class RunLogger:
             self.scalar(f"{prefix}{tag}" if prefix else tag, value, step)
 
     def text(self, message: str) -> None:
+        if not self.primary:
+            return
         stamped = f"{time.strftime('%Y-%m-%d %H:%M:%S')} {message}"
         with open(self.text_path, "a", encoding="utf-8") as handle:
             handle.write(stamped + "\n")
@@ -73,6 +85,8 @@ class RunLogger:
             print(stamped, flush=True)
 
     def json_line(self, record: Dict[str, Any]) -> None:
+        if not self.primary:
+            return
         with open(self.jsonl_path, "a", encoding="utf-8") as handle:
             handle.write(json.dumps(record, default=str) + "\n")
 
