@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .vit import ViTConfig, init_vit, vit_forward
+from .dpt import DPTConfig, TAP_BLOCKS, dpt_forward, init_dpt
+from .vit import ViTConfig, init_vit, vit_forward, vit_tap_features
 from .import_torch import (
     load_torch_state_dict,
     mae_params_from_torch,
@@ -42,6 +43,43 @@ class Classifier:
 
     def apply(self, params: Params, images: jax.Array) -> jax.Array:
         return vit_forward(params, images, self.cfg)
+
+
+@dataclass(frozen=True)
+class DenseClassifier:
+    """ViT encoder taps {2,5,8,11} → DPT decoder → dense logits.
+
+    The reference's ``dense=True`` composition (``models.py:117-130``:
+    ``forward_features`` collects the tapped blocks, ``self.decoder`` is the
+    DPT from ``DPT_decoder.py``).  ``params`` holds ``{"encoder": ...,
+    "dpt": ...}`` so freeze regimes can scale the two subtrees separately.
+    """
+
+    params: Params
+    cfg: ViTConfig
+    dpt_cfg: DPTConfig
+    scheme: str
+
+    def apply(self, params: Params, images: jax.Array) -> jax.Array:
+        taps = vit_tap_features(params["encoder"], images, self.cfg,
+                                taps=TAP_BLOCKS)
+        return dpt_forward(params["dpt"], taps, self.dpt_cfg).astype(jnp.float32)
+
+
+def _as_dense(classifier: "Classifier", key: jax.Array, num_classes: int) -> DenseClassifier:
+    """Wrap a pooled classifier's encoder with a fresh DPT decoder."""
+    encoder = {k: v for k, v in classifier.params.items() if k != "head"}
+    dpt_cfg = DPTConfig(
+        embed_dim=classifier.cfg.embed_dim,
+        num_classes=num_classes,
+        grid_size=classifier.cfg.grid_size,
+    )
+    return DenseClassifier(
+        params={"encoder": encoder, "dpt": init_dpt(key, dpt_cfg)},
+        cfg=classifier.cfg,
+        dpt_cfg=dpt_cfg,
+        scheme=classifier.scheme,
+    )
 
 
 def _as_jax(tree):
@@ -162,8 +200,14 @@ def build_classifier(
     Dispatch mirrors the reference's scheme table (``config/model/*.yaml`` +
     ``train_classification.py`` model selection): ``ss_framework: mae`` →
     MAE backbone; ``pretraining: ImageNet_class`` → AugReg ViT; otherwise
-    random init.
+    random init.  ``dense: true`` (config key or kwarg) wires the encoder
+    taps {2,5,8,11} into the DPT decoder (reference ``models.py:124``) and
+    returns a :class:`DenseClassifier` emitting (B, H/2, W/2, num_classes)
+    logits instead of pooled ones.
     """
+    dense = bool(overrides.pop("dense", model_cfg.get("dense", False)))
+    if dense:
+        key, dense_key = jax.random.split(key)
     pretraining = str(model_cfg.get("pretraining", "random")).lower()
     ss_framework = str(model_cfg.get("ss_framework", "")).lower()
     checkpoint = model_cfg.get("checkpoint")
@@ -175,12 +219,18 @@ def build_classifier(
     if ss_framework == "mae" or pretraining in {"hyperkvasir", "imagenet_self"}:
         scheme = str(model_cfg.get("key", "ssl"))
         weight = checkpoint if checkpoint and Path(checkpoint).exists() else None
-        return get_mae_backbone(
+        classifier = get_mae_backbone(
             key, weight_path=weight, num_classes=num_classes, scheme=scheme, **overrides
         )
-    if pretraining == "imagenet_class":
+    elif pretraining == "imagenet_class":
         npz = checkpoint if checkpoint and Path(checkpoint).exists() else None
-        return get_imagenet_or_random_vit(
+        classifier = get_imagenet_or_random_vit(
             key, pretrained_npz=npz, num_classes=num_classes, **overrides
         )
-    return get_imagenet_or_random_vit(key, None, num_classes=num_classes, **overrides)
+    else:
+        classifier = get_imagenet_or_random_vit(
+            key, None, num_classes=num_classes, **overrides
+        )
+    if dense:
+        return _as_dense(classifier, dense_key, num_classes)
+    return classifier

@@ -116,6 +116,36 @@ def vit_features(params: Params, images: jax.Array, cfg: ViTConfig = VIT_B16) ->
     return layers.layernorm(x, params["norm"]["scale"], params["norm"]["bias"], cfg.ln_eps)
 
 
+def vit_tap_features(
+    params: Params,
+    images: jax.Array,
+    cfg: ViTConfig = VIT_B16,
+    taps: tuple[int, ...] = (2, 5, 8, 11),
+) -> list[jax.Array]:
+    """Run the encoder collecting intermediate block outputs.
+
+    Dense mode taps the *pre-norm* outputs of blocks ``taps`` (reference
+    ``models.py:117-127``: ``forward_features`` appends ``blk(x)`` for
+    i in {2, 5, 8, 11} and skips the final norm when ``dense``).
+    Returns the tapped (B, N+1, D) token tensors, shallowest first.
+    """
+    params = layers.cast_params_for_compute(params, cfg.compute_dtype)
+    x = embed_patches(params, images, cfg)
+    pos = params["pos_embed"].astype(cfg.compute_dtype)
+    x = x + pos[:, 1:, :]
+    cls = (params["cls_token"].astype(cfg.compute_dtype) + pos[:, :1, :])
+    cls = jnp.broadcast_to(cls, (x.shape[0], 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    _, collected = layers.run_blocks_collect(
+        x,
+        params["blocks"],
+        cfg.num_heads,
+        ln_eps=cfg.ln_eps,
+        use_pallas=cfg.use_pallas_attention,
+    )
+    return [collected[i] for i in taps]
+
+
 def pool_tokens(tokens: jax.Array, out_token: str) -> jax.Array:
     """cls-token or spatial-mean pooling (reference ``models.py:134-137``)."""
     if out_token == "cls":

@@ -70,6 +70,51 @@ def test_run_blocks_collect_taps(rng_key):
     assert len(taps) == 4
 
 
+def test_dense_classifier_assembly(rng_key):
+    """build_classifier(dense=True) composes taps {2,5,8,11} + DPT
+    (reference models.py:124) into dense logits with gradients flowing."""
+    from ssl4polyp_tpu.models.factory import DenseClassifier, build_classifier
+
+    model = build_classifier(
+        rng_key,
+        {"key": "sup_imnet", "arch": "vit_b", "pretraining": "random",
+         "dense": True},
+        num_classes=2,
+        img_size=32, patch_size=8, embed_dim=32, depth=12, num_heads=2,
+        compute_dtype=jnp.float32,
+    )
+    assert isinstance(model, DenseClassifier)
+    assert set(model.params) == {"encoder", "dpt"}
+    assert "head" not in model.params["encoder"]
+
+    images = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    logits = model.apply(model.params, images)
+    # grid 4 → fusion upsamples to 32; output at input resolution here
+    # (input/2 at the reference's patch 16: 224→14→112)
+    assert logits.shape == (2, 32, 32, 2)
+    assert bool(jnp.isfinite(logits).all())
+
+    def loss_fn(params):
+        return (model.apply(params, images) ** 2).mean()
+
+    grads = jax.grad(loss_fn)(model.params)
+    dpt_norm = sum(float(jnp.abs(g).sum())
+                   for g in jax.tree_util.tree_leaves(grads["dpt"]))
+    enc_norm = sum(float(jnp.abs(g).sum())
+                   for g in jax.tree_util.tree_leaves(grads["encoder"]))
+    assert dpt_norm > 0 and enc_norm > 0
+
+    # tapped features must match a manual collect over the same encoder
+    from ssl4polyp_tpu.models import layers
+    from ssl4polyp_tpu.models.dpt import TAP_BLOCKS
+    from ssl4polyp_tpu.models.vit import vit_tap_features
+
+    taps = vit_tap_features(model.params["encoder"], images, model.cfg)
+    assert len(taps) == 4
+    assert all(t.shape == (2, 17, 32) for t in taps)
+    assert TAP_BLOCKS == (2, 5, 8, 11)
+
+
 @pytest.mark.slow
 def test_linear_probe_trains_head_only(tmp_path):
     from ssl4polyp_tpu.data.packs import create_classification_datasets
