@@ -123,6 +123,7 @@ class ResultLoader:
         required_curve_keys: Sequence[str] = (),
         strict: bool = True,
         enforce_curve_exports: bool = True,
+        enforce_csv_hashes: bool = True,
     ) -> None:
         if exp_id not in THRESHOLD_SPECS:
             raise GuardrailViolation(f"Unknown experiment id {exp_id!r}")
@@ -130,7 +131,9 @@ class ResultLoader:
         self.required_curve_keys = tuple(required_curve_keys)
         self.strict = strict
         self.enforce_curve_exports = enforce_curve_exports
+        self.enforce_csv_hashes = enforce_csv_hashes
         self._curve_digests: Dict[str, str] = {}
+        self._csv_digest_registry: Dict[str, str] = {}
         self.loaded_runs: list[Dict[str, Any]] = []
 
     # ------------------------------------------------------------------
@@ -177,6 +180,7 @@ class ResultLoader:
         self._validate_confusion(metrics_path, normalised, "test_primary")
         self._validate_confusion(metrics_path, normalised, "test_sensitivity")
         self._validate_curves(metrics_path, normalised)
+        self._validate_csv_hashes(metrics_path, normalised)
         self._register(metrics_path, normalised)
         return normalised
 
@@ -300,6 +304,7 @@ class ResultLoader:
                         f"{metrics_path}: thresholds.{slot}.source_split must be "
                         f"{slot_spec.get('source_split')!r}"
                     )
+                self._validate_frozen_provenance(metrics_path, slot, block, slot_spec)
 
         check("primary", spec["primary"])
         if "sensitivity" in spec:
@@ -308,6 +313,119 @@ class ResultLoader:
             raise GuardrailViolation(
                 f"{metrics_path}: unexpected thresholds.sensitivity"
             )
+
+    def _validate_frozen_provenance(
+        self,
+        metrics_path: Path,
+        slot: str,
+        block: Mapping[str, Any],
+        slot_spec: Mapping[str, Any],
+    ) -> None:
+        """Frozen-τ records must carry auditable source provenance.
+
+        The reference annotates frozen thresholds with the checkpoint they came
+        from (``metrics/thresholds.py:393-463``) but never verifies it on the
+        way back in; here the report layer refuses frozen records that lack a
+        ``notes.source_checkpoint`` or whose recorded source split contradicts
+        the expected SUN validation split.
+        """
+        if not self.strict:
+            return
+        notes = block.get("notes")
+        if not isinstance(notes, Mapping):
+            raise GuardrailViolation(
+                f"{metrics_path}: thresholds.{slot} (sun_val_frozen) missing notes block"
+            )
+        source_ckpt = notes.get("source_checkpoint")
+        if not isinstance(source_ckpt, str) or not source_ckpt.strip():
+            raise GuardrailViolation(
+                f"{metrics_path}: thresholds.{slot}.notes.source_checkpoint is required "
+                "for frozen thresholds"
+            )
+        expected_split = slot_spec.get("source_split")
+        recorded = notes.get("source_split_path")
+        if isinstance(recorded, str) and recorded.strip() and expected_split:
+            if normalise_manifest_path(expected_split) not in normalise_manifest_path(recorded):
+                raise GuardrailViolation(
+                    f"{metrics_path}: thresholds.{slot}.notes.source_split_path="
+                    f"{recorded!r} does not contain {expected_split!r}"
+                )
+        if "unexpected_source_split" in notes:
+            raise GuardrailViolation(
+                f"{metrics_path}: thresholds.{slot} frozen τ was derived on an "
+                f"unexpected split: {notes.get('unexpected_source_split')!r}"
+            )
+        sha = notes.get("source_checkpoint_sha256")
+        if sha is not None and (not isinstance(sha, str) or len(sha.strip()) != 64):
+            raise GuardrailViolation(
+                f"{metrics_path}: thresholds.{slot}.notes.source_checkpoint_sha256 "
+                "must be a 64-hex sha256"
+            )
+
+    def _validate_csv_hashes(self, metrics_path: Path, payload: Mapping[str, Any]) -> None:
+        """Cross-run digest consistency plus on-disk re-hash of outputs CSVs.
+
+        The reference wrote this guardrail (``result_loader.py:558``) but left
+        it disabled (``result_loader.py:189``); here it is active, and it goes
+        further: ``provenance.*_outputs_csv`` files sitting next to the
+        metrics.json are re-hashed and compared to their declared sha256.
+        """
+        if not self.enforce_csv_hashes:
+            return
+        digests: Dict[str, str] = {}
+        data_block = payload.get("data")
+        if isinstance(data_block, Mapping):
+            for split in ("train", "val", "test"):
+                entry = data_block.get(split)
+                if not isinstance(entry, Mapping):
+                    continue
+                sha = entry.get("sha256")
+                path_value = entry.get("path")
+                if isinstance(sha, str) and sha.strip() and isinstance(path_value, str):
+                    key = f"data.{split}:{normalise_manifest_path(path_value)}"
+                    digests[key] = sha.strip().lower()
+        for key, digest in digests.items():
+            previous = self._csv_digest_registry.get(key)
+            if previous is None:
+                self._csv_digest_registry[key] = digest
+            elif previous != digest:
+                raise GuardrailViolation(
+                    f"{metrics_path}: dataset digest mismatch for {key!r}: "
+                    f"{digest} != previously seen {previous}"
+                )
+
+        provenance = payload.get("provenance")
+        if not isinstance(provenance, Mapping):
+            return
+        for name_key, sha_key in (
+            ("test_outputs_csv", "test_outputs_csv_sha256"),
+            ("test_zero_shot_outputs_csv", "test_zero_shot_outputs_csv_sha256"),
+        ):
+            csv_name = provenance.get(name_key)
+            declared = provenance.get(sha_key)
+            if not isinstance(csv_name, str) or not csv_name.strip():
+                continue
+            if not isinstance(declared, str) or not declared.strip():
+                if self.strict:
+                    raise GuardrailViolation(
+                        f"{metrics_path}: provenance.{name_key} declared without {sha_key}"
+                    )
+                continue
+            csv_path = Path(csv_name)
+            if not csv_path.is_absolute():
+                csv_path = metrics_path.parent / csv_path
+            if not csv_path.exists():
+                if self.strict:
+                    raise GuardrailViolation(
+                        f"{metrics_path}: declared outputs CSV missing on disk: {csv_path}"
+                    )
+                continue
+            actual = compute_file_sha256(csv_path)
+            if actual != declared.strip().lower():
+                raise GuardrailViolation(
+                    f"{metrics_path}: provenance.{sha_key} mismatch for {csv_path.name}: "
+                    f"declared {declared[:12]}…, file hashes to {actual[:12]}…"
+                )
 
     def _validate_confusion(
         self, metrics_path: Path, payload: Mapping[str, Any], block_name: str

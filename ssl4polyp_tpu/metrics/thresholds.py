@@ -214,6 +214,7 @@ def resolve_frozen_sun_threshold(
     source_key: str = "primary",
     expected_split_substring: str = "sun_full/val",
     checkpoint_path: Optional[Path] = None,
+    checkpoint_sha256: Optional[str] = None,
 ) -> Tuple[float, Dict[str, Any]]:
     """Reuse a τ derived on SUN validation (policy ``sun_val_frozen``)."""
     if not isinstance(thresholds_block, Mapping):
@@ -242,6 +243,8 @@ def resolve_frozen_sun_threshold(
     notes["source_key"] = source_key
     if checkpoint_path is not None:
         notes["source_checkpoint"] = str(checkpoint_path)
+    if checkpoint_sha256:
+        notes["source_checkpoint_sha256"] = str(checkpoint_sha256)
     if source_split:
         notes.setdefault("source_split_path", source_split)
 

@@ -421,6 +421,7 @@ def _resolve_policy_tau(
             source_key="primary",
             expected_split_substring="sun_full/val",
             checkpoint_path=ctx.parent_reference.checkpoint_path,
+            checkpoint_sha256=ctx.parent_reference.checkpoint_sha256,
         )
         return tau, record
     if val_results is None:

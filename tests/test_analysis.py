@@ -18,6 +18,7 @@ from ssl4polyp_tpu.analysis import (
     load_common_run,
 )
 from ssl4polyp_tpu.analysis.exp_reports import run_report
+from ssl4polyp_tpu.analysis.guardrails import compute_file_sha256
 
 
 def synth_run(
@@ -78,6 +79,12 @@ def synth_run(
     if exp in ("exp5a", "exp5b", "exp5c"):
         thresholds["primary"] = {
             "policy": "sun_val_frozen", "tau": tau, "source_split": "sun_full/val",
+            "notes": {
+                "source_checkpoint": "checkpoints/sun_parent.ckpt",
+                "source_checkpoint_sha256": "d" * 64,
+                "source_policy": "f1_opt_on_val",
+                "source_split_path": "sun_full/val",
+            },
         }
         thresholds["policy"] = "sun_val_frozen"
         if exp == "exp5c":
@@ -95,6 +102,8 @@ def synth_run(
             "model": model,
             "train_seed": seed,
             "subset_percent": subset_percent,
+            "test_outputs_csv": outputs_path.name,
+            "test_outputs_csv_sha256": compute_file_sha256(outputs_path),
             **({"fewshot_budget": fewshot_budget} if fewshot_budget else {}),
         },
         "data": {
@@ -175,6 +184,71 @@ def test_guardrails_split_binding(tmp_path):
     path.write_text(json.dumps(broken))
     with pytest.raises(GuardrailViolation, match="split"):
         ResultLoader("exp1").load(path)
+
+
+def test_guardrails_rehash_outputs_csv(tmp_path):
+    """Declared outputs-CSV sha256 is verified against the file on disk.
+
+    The reference authored this check (``result_loader.py:558``) but shipped it
+    disabled (``:189``); here tampering with the CSV after the run is caught.
+    """
+    synth_run(tmp_path)
+    path = next(tmp_path.glob("*.metrics.json"))
+    csv_path = next(tmp_path.glob("*_test_outputs.csv"))
+    with open(csv_path, "a") as handle:
+        handle.write("tampered,0.5,1,1,case0,sun,,case0,flat\n")
+    with pytest.raises(GuardrailViolation, match="sha256 mismatch"):
+        ResultLoader("exp1").load(path)
+
+
+def test_guardrails_missing_outputs_csv(tmp_path):
+    synth_run(tmp_path)
+    path = next(tmp_path.glob("*.metrics.json"))
+    next(tmp_path.glob("*_test_outputs.csv")).unlink()
+    with pytest.raises(GuardrailViolation, match="missing on disk"):
+        ResultLoader("exp1").load(path)
+    # opt-out mirrors the reference's (dormant) behaviour
+    ResultLoader("exp1", enforce_csv_hashes=False).load(path)
+
+
+def test_guardrails_cross_run_digest_registry(tmp_path):
+    """The same dataset path must hash identically across every loaded run."""
+    synth_run(tmp_path / "a", seed=13)
+    synth_run(tmp_path / "b", seed=29)
+    path_b = next((tmp_path / "b").glob("*.metrics.json"))
+    broken = json.loads(path_b.read_text())
+    broken["data"]["test"]["sha256"] = "e" * 64
+    path_b.write_text(json.dumps(broken))
+    loader = ResultLoader("exp1")
+    loader.load(next((tmp_path / "a").glob("*.metrics.json")))
+    with pytest.raises(GuardrailViolation, match="dataset digest mismatch"):
+        loader.load(path_b)
+
+
+def test_guardrails_frozen_source_checkpoint(tmp_path):
+    """Frozen-τ records must carry auditable checkpoint provenance."""
+    synth_run(tmp_path, exp="exp5a")
+    path = next(tmp_path.glob("*.metrics.json"))
+    valid = json.loads(path.read_text())
+    ResultLoader("exp5a").load(path)
+
+    broken = json.loads(json.dumps(valid))
+    del broken["thresholds"]["primary"]["notes"]["source_checkpoint"]
+    path.write_text(json.dumps(broken))
+    with pytest.raises(GuardrailViolation, match="source_checkpoint is required"):
+        ResultLoader("exp5a").load(path)
+
+    broken = json.loads(json.dumps(valid))
+    broken["thresholds"]["primary"]["notes"]["source_split_path"] = "polypgen/val"
+    path.write_text(json.dumps(broken))
+    with pytest.raises(GuardrailViolation, match="does not contain"):
+        ResultLoader("exp5a").load(path)
+
+    broken = json.loads(json.dumps(valid))
+    broken["thresholds"]["primary"]["notes"]["source_checkpoint_sha256"] = "nothex"
+    path.write_text(json.dumps(broken))
+    with pytest.raises(GuardrailViolation, match="64-hex"):
+        ResultLoader("exp5a").load(path)
 
 
 def test_common_run_loading(tmp_path):
