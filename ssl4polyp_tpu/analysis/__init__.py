@@ -10,6 +10,7 @@ reproducibility manifest.
 
 from .guardrails import GuardrailViolation, ResultLoader, THRESHOLD_SPECS
 from .bootstrapper import Bootstrapper, BootstrapDeltaResult
+from .frame_bootstrap import FrameBootstrapper, FrameSample, bootstrap_curves
 from .seed_checks import ensure_expected_seeds, SeedCheckError, EXPECTED_SEEDS
 from .common import (
     CommonRun,
@@ -26,6 +27,9 @@ __all__ = [
     "THRESHOLD_SPECS",
     "Bootstrapper",
     "BootstrapDeltaResult",
+    "FrameBootstrapper",
+    "FrameSample",
+    "bootstrap_curves",
     "ensure_expected_seeds",
     "SeedCheckError",
     "EXPECTED_SEEDS",

@@ -14,9 +14,10 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from .common import CommonRun
+from .common import CommonRun, read_outputs_csv
 from .display import format_delta, format_value
-from .report_core import ReportConfig, RunSet, generate_report
+from .frame_bootstrap import FrameSample, bootstrap_curves
+from .report_core import ReportConfig, RunSet, frame_sample_of, generate_report
 
 __all__ = ["REPORTS", "build_report_config", "run_report", "main"]
 
@@ -73,82 +74,263 @@ def _morphology_section(run_set: RunSet) -> List[str]:
     return lines if header_written else []
 
 
-def _learning_curve_section(run_set: RunSet) -> List[str]:
-    """exp4: AUROC learning curve over subset percents + AULC per model."""
-    by_model: Dict[str, Dict[int, List[float]]] = {}
+def _curve_data_from_conditions(
+    run_set: RunSet, separator: str
+) -> Dict[str, Dict[float, Dict[int, FrameSample]]]:
+    """``model → x → seed → FrameSample`` from ``model@<sep>X`` conditions."""
+    data: Dict[str, Dict[float, Dict[int, FrameSample]]] = {}
     for condition, seeds in run_set.runs.items():
-        if "@p" not in condition:
+        if separator not in condition:
             continue
-        model, percent_token = condition.rsplit("@p", 1)
-        percent = int(percent_token)
-        for run in seeds.values():
-            value = (run.payload.get("test_primary") or {}).get("auroc")
-            if isinstance(value, (int, float)) and math.isfinite(float(value)):
-                by_model.setdefault(model, {}).setdefault(percent, []).append(float(value))
-    if not by_model:
-        return []
-    percents = sorted({p for curves in by_model.values() for p in curves})
-    lines = ["## Learning curves (test AUROC by train-subset percent)", ""]
-    lines.append("| model | " + " | ".join(f"p{p}" for p in percents) + " | AULC |")
-    lines.append("|" + "---|" * (len(percents) + 2))
-    for model in sorted(by_model):
-        curve = by_model[model]
-        means = [
-            float(np.mean(curve[p])) if p in curve else float("nan") for p in percents
-        ]
-        valid = [(p, m) for p, m in zip(percents, means) if math.isfinite(m)]
-        if len(valid) >= 2:
-            xs = np.log10([p for p, _ in valid])
-            ys = [m for _, m in valid]
-            aulc = float(np.trapezoid(ys, xs) / (xs[-1] - xs[0]))
-        else:
-            aulc = float("nan")
+        model, token = condition.rsplit(separator, 1)
+        try:
+            x = float(token)
+        except ValueError:
+            continue
+        for seed, run in seeds.items():
+            if not run.frames:
+                continue
+            data.setdefault(model, {}).setdefault(x, {})[seed] = frame_sample_of(run)
+    return data
+
+
+def _format_point_ci(point: float, lo: float, hi: float) -> str:
+    if not math.isfinite(point):
+        return "—"
+    if math.isfinite(lo) and math.isfinite(hi):
+        return f"{format_value(point)} [{format_value(lo)}, {format_value(hi)}]"
+    return format_value(point)
+
+
+def _render_curve_tables(
+    result,
+    *,
+    title: str,
+    x_label: str,
+    x_format,
+) -> List[str]:
+    """Shared rendering for exp4/exp5c curve bootstraps: per-x points with
+    CIs, AULC with CIs, pairwise per-x deltas and AULC deltas."""
+    lines = [f"## {title}", ""]
+    xs = result.xs
+    lines.append(f"| model | " + " | ".join(x_format(x) for x in xs) + " | AULC [95% CI] |")
+    lines.append("|" + "---|" * (len(xs) + 2))
+    for model in sorted(result.points):
+        cells = []
+        for x in xs:
+            entry = result.points[model].get(x)
+            cells.append(_format_point_ci(*entry) if entry else "—")
+        aulc, lo, hi = result.aulc[model]
         lines.append(
-            f"| {model} | " + " | ".join(format_value(m) for m in means)
-            + f" | {format_value(aulc)} |"
+            f"| {model} | " + " | ".join(cells) + f" | {_format_point_ci(aulc, lo, hi)} |"
         )
     lines.append("")
+
+    if result.per_x_deltas:
+        lines.append(f"### Pairwise deltas by {x_label} (AUROC, paired bootstrap 95% CI)")
+        lines.append("")
+        lines.append(f"| baseline | contender | {x_label} | Δ | 95% CI |")
+        lines.append("|---|---|---|---|---|")
+        for (a, b), per_x in sorted(result.per_x_deltas.items()):
+            for x in xs:
+                delta = per_x.get(x)
+                if delta is None:
+                    continue
+                lines.append(
+                    f"| {a} | {b} | {x_format(x)} | {format_delta(delta.mean)} | "
+                    f"[{format_value(delta.ci_lower)}, {format_value(delta.ci_upper)}] |"
+                )
+        lines.append("")
+        lines.append("### AULC deltas (paired bootstrap 95% CI)")
+        lines.append("")
+        lines.append("| baseline | contender | ΔAULC | 95% CI |")
+        lines.append("|---|---|---|---|")
+        for (a, b), (delta, lo, hi) in sorted(result.aulc_deltas.items()):
+            lines.append(
+                f"| {a} | {b} | {format_delta(delta)} | "
+                f"[{format_value(lo)}, {format_value(hi)}] |"
+            )
+        lines.append("")
     return lines
 
 
+def _learning_curve_section(run_set: RunSet) -> List[str]:
+    """exp4: frame-recomputed AUROC learning curves with bootstrap CIs,
+    per-percent pairwise deltas and paired AULC deltas (reference
+    ``exp4_report.py:537-1116``)."""
+    data = _curve_data_from_conditions(run_set, "@p")
+    if not data:
+        return []
+    models = sorted(data)
+    pairs = [(a, b) for i, a in enumerate(models) for b in models[i + 1:]]
+    result = bootstrap_curves(
+        data, metric="auroc", n_resamples=run_set.n_resamples, pairs=pairs
+    )
+    return _render_curve_tables(
+        result,
+        title="Learning curves (test AUROC by train-subset percent)",
+        x_label="percent",
+        x_format=lambda x: f"p{int(x)}",
+    )
+
+
+def _parse_perturbation_tag(tag: str) -> tuple:
+    """``"blur_sigma=1.5"`` → ("blur_sigma", 1.5); unparameterised tags get
+    severity NaN (reference ``exp5b_report.py:214-268`` tag grammar)."""
+    first = str(tag).split("|", 1)[0]
+    if "=" in first:
+        family, _, value = first.partition("=")
+        try:
+            return family, float(value)
+        except ValueError:
+            return family, float("nan")
+    return first, float("nan")
+
+
+def _case_delta_bootstrap(
+    per_seed_deltas: Dict[int, np.ndarray],
+    n_resamples: int,
+) -> tuple:
+    """(mean, lo, hi) of the seed-averaged mean per-case delta, resampling
+    cases with replacement per seed (rng 1337, reference
+    ``exp5b_report.py:755-838``)."""
+    seeds = sorted(per_seed_deltas)
+    point = float(np.mean([np.mean(per_seed_deltas[s]) for s in seeds]))
+    rng = np.random.default_rng(1337)
+    draws = []
+    for _ in range(n_resamples):
+        vals = []
+        for s in seeds:
+            deltas = per_seed_deltas[s]
+            idx = rng.integers(0, deltas.size, size=deltas.size)
+            vals.append(float(np.mean(deltas[idx])))
+        draws.append(float(np.mean(vals)))
+    arr = np.asarray(draws)
+    return point, float(np.quantile(arr, 0.025)), float(np.quantile(arr, 0.975))
+
+
 def _retention_section(run_set: RunSet) -> List[str]:
-    """exp5b: per-perturbation-tag F1 retention vs the clean subset."""
+    """exp5b: per-family/per-severity F1 retention vs clean with paired
+    case-level bootstrap CIs (reference ``exp5b_report.py`` T2/T3 tables)."""
     lines = ["## Perturbation retention (F1 vs clean)", ""]
     any_rows = False
     for condition in run_set.conditions():
         tag_acc: Dict[str, List[float]] = {}
         clean_acc: List[float] = []
-        for run in run_set.runs[condition].values():
-            perturbations = (run.payload.get("test_perturbations") or {}).get("per_tag") or {}
-            clean = perturbations.get("clean") or {}
+        # tag → seed → per-case (tag_f1 − clean_f1) over shared cases
+        case_deltas: Dict[str, Dict[int, np.ndarray]] = {}
+        for seed, run in run_set.runs[condition].items():
+            block = run.payload.get("test_perturbations") or {}
+            per_tag = block.get("per_tag") or {}
+            per_case = block.get("per_case") or {}
+            clean = per_tag.get("clean") or {}
             clean_f1 = clean.get("f1")
-            if isinstance(clean_f1, (int, float)) and clean_f1:
+            if isinstance(clean_f1, (int, float)) and math.isfinite(float(clean_f1)):
                 clean_acc.append(float(clean_f1))
-            for tag, block in perturbations.items():
-                value = block.get("f1")
+            clean_cases = per_case.get("clean") or {}
+            for tag, stats in per_tag.items():
+                value = stats.get("f1")
                 if isinstance(value, (int, float)) and math.isfinite(float(value)):
                     tag_acc.setdefault(tag, []).append(float(value))
+                tag_cases = per_case.get(tag) or {}
+                shared = sorted(set(tag_cases) & set(clean_cases))
+                if tag != "clean" and shared:
+                    deltas = np.asarray([
+                        float(tag_cases[c].get("f1", 0.0)) - float(clean_cases[c].get("f1", 0.0))
+                        for c in shared
+                    ])
+                    case_deltas.setdefault(tag, {})[seed] = deltas
         if not tag_acc or not clean_acc:
             continue
         if not any_rows:
-            lines.append("| condition | tag | f1 | retention |")
-            lines.append("|---|---|---|---|")
+            lines.append(
+                "| condition | family | severity | tag | f1 | retention | "
+                "Δf1 vs clean [95% CI] |"
+            )
+            lines.append("|---|---|---|---|---|---|---|")
             any_rows = True
         clean_mean = float(np.mean(clean_acc))
-        for tag in sorted(tag_acc):
+
+        def sort_key(tag: str):
+            family, severity = _parse_perturbation_tag(tag)
+            return (family, severity if math.isfinite(severity) else float("inf"), tag)
+
+        for tag in sorted(tag_acc, key=sort_key):
             mean = float(np.mean(tag_acc[tag]))
             retention = mean / clean_mean if clean_mean else float("nan")
+            family, severity = _parse_perturbation_tag(tag)
+            if tag in case_deltas:
+                point, lo, hi = _case_delta_bootstrap(
+                    case_deltas[tag], run_set.n_resamples
+                )
+                delta_cell = (
+                    f"{format_delta(point)} [{format_value(lo)}, {format_value(hi)}]"
+                )
+            else:
+                delta_cell = "—" if tag == "clean" else format_delta(mean - clean_mean)
+            severity_cell = format_value(severity) if math.isfinite(severity) else "—"
             lines.append(
-                f"| {condition} | {tag} | {format_value(mean)} | "
-                f"{format_value(retention)} |"
+                f"| {condition} | {family} | {severity_cell} | {tag} | "
+                f"{format_value(mean)} | {format_value(retention)} | {delta_cell} |"
             )
     lines.append("")
     return lines if any_rows else []
 
 
+def _zero_shot_frame_sample(run: CommonRun) -> Optional[FrameSample]:
+    """Load the zero-shot outputs CSV exported by the engine
+    (``training/classification.py`` zero-shot anchor block) as a bootstrap
+    sample, falling back to None when absent."""
+    zero_shot = run.payload.get("zero_shot") or {}
+    csv_name = zero_shot.get("outputs_csv")
+    if not isinstance(csv_name, str) or not csv_name.strip():
+        return None
+    csv_path = Path(csv_name)
+    if not csv_path.is_absolute():
+        csv_path = run.metrics_path.parent / csv_path
+    if not csv_path.exists():
+        return None
+    frames = read_outputs_csv(csv_path)
+    if not frames:
+        return None
+    tau = zero_shot.get("tau")
+    return FrameSample.build(
+        [f.prob for f in frames],
+        [f.label for f in frames],
+        [f.case_id or f.sequence_id or f.frame_id for f in frames],
+        float(tau) if isinstance(tau, (int, float)) else 0.5,
+    )
+
+
 def _zero_shot_section(run_set: RunSet) -> List[str]:
-    """exp5c: zero-shot anchor vs fine-tuned few-shot results."""
-    lines = ["## Zero-shot anchor vs fine-tuned", ""]
+    """exp5c: few-shot curves over budgets with the zero-shot anchor as the
+    budget-0 curve point, per-budget pairwise deltas and AULC deltas
+    (reference ``exp5c_report.py`` curve + delta tables)."""
+    data = _curve_data_from_conditions(run_set, "@s")
+    # Zero-shot anchors enter the curve at budget 0 when their frames exist.
+    for condition, seeds in run_set.runs.items():
+        if "@s" not in condition:
+            continue
+        model = condition.rsplit("@s", 1)[0]
+        for seed, run in seeds.items():
+            anchor = _zero_shot_frame_sample(run)
+            if anchor is not None:
+                data.setdefault(model, {}).setdefault(0.0, {}).setdefault(seed, anchor)
+    lines: List[str] = []
+    if data:
+        models = sorted(data)
+        pairs = [(a, b) for i, a in enumerate(models) for b in models[i + 1:]]
+        result = bootstrap_curves(
+            data, metric="auroc", n_resamples=run_set.n_resamples, pairs=pairs
+        )
+        lines += _render_curve_tables(
+            result,
+            title="Few-shot curves (test AUROC by budget; s0 = zero-shot anchor)",
+            x_label="budget",
+            x_format=lambda x: f"s{int(x)}",
+        )
+
+    # Declared-anchor summary (kept for runs without zero-shot frames).
     rows = []
     for condition in run_set.conditions():
         zs_acc, ft_acc = [], []
@@ -165,17 +347,17 @@ def _zero_shot_section(run_set: RunSet) -> List[str]:
         zs_mean = float(np.mean(zs_acc)) if zs_acc else float("nan")
         ft_mean = float(np.mean(ft_acc))
         rows.append((condition, zs_mean, ft_mean))
-    if not rows:
-        return []
-    lines.append("| condition | zero-shot AUROC | fine-tuned AUROC | Δ |")
-    lines.append("|---|---|---|---|")
-    for condition, zs_mean, ft_mean in rows:
-        delta = ft_mean - zs_mean if math.isfinite(zs_mean) else float("nan")
-        lines.append(
-            f"| {condition} | {format_value(zs_mean)} | {format_value(ft_mean)} | "
-            f"{format_delta(delta)} |"
-        )
-    lines.append("")
+    if rows:
+        lines += ["## Zero-shot anchor vs fine-tuned", ""]
+        lines.append("| condition | zero-shot AUROC | fine-tuned AUROC | Δ |")
+        lines.append("|---|---|---|---|")
+        for condition, zs_mean, ft_mean in rows:
+            delta = ft_mean - zs_mean if math.isfinite(zs_mean) else float("nan")
+            lines.append(
+                f"| {condition} | {format_value(zs_mean)} | {format_value(ft_mean)} | "
+                f"{format_delta(delta)} |"
+            )
+        lines.append("")
     return lines
 
 

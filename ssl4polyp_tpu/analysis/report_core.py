@@ -17,9 +17,9 @@ from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .bootstrapper import Bootstrapper
-from .common import CommonRun, load_common_run
+from .common import CommonRun, compute_binary_metrics, load_common_run
 from .display import format_delta, format_value
+from .frame_bootstrap import FrameBootstrapper, FrameSample
 from .guardrails import GuardrailViolation, ResultLoader, build_report_manifest
 from .seed_checks import EXPECTED_SEEDS, ensure_expected_seeds
 
@@ -57,6 +57,7 @@ class ReportConfig:
 class RunSet:
     config: ReportConfig
     runs: Dict[str, Dict[int, CommonRun]] = field(default_factory=dict)  # condition → seed → run
+    n_resamples: int = 2000  # bootstrap budget shared by the extra sections
 
     def conditions(self) -> List[str]:
         return sorted(self.runs)
@@ -131,14 +132,51 @@ def check_seeds(run_set: RunSet) -> None:
 # Aggregation
 # ---------------------------------------------------------------------------
 
+AUDIT_TOLERANCE = 5e-3
+
+
+def recompute_primary_metrics(run: CommonRun) -> Optional[Dict[str, float]]:
+    """Headline metrics recomputed from the run's exported outputs CSV.
+
+    The reference reporters rebuild their tables from ``*_test_outputs.csv``
+    (``exp4_report.py:376-403``) so every number is auditable against the
+    artifacts; the declared ``test_primary`` block is only trusted after it
+    agrees with the frames within :data:`AUDIT_TOLERANCE`.
+    """
+    if not run.frames:
+        return None
+    probs = np.asarray([f.prob for f in run.frames], dtype=float)
+    labels = np.asarray([f.label for f in run.frames], dtype=int)
+    tau = run.primary_tau if run.primary_tau is not None else 0.5
+    recomputed = compute_binary_metrics(probs, labels, tau)
+    declared = run.payload.get("test_primary") or {}
+    for key, value in recomputed.items():
+        stated = declared.get(key)
+        if (
+            isinstance(stated, (int, float))
+            and math.isfinite(float(stated))
+            and math.isfinite(float(value))
+            and abs(float(stated) - float(value)) > AUDIT_TOLERANCE
+        ):
+            raise GuardrailViolation(
+                f"{run.metrics_path}: test_primary.{key}={float(stated):.6f} disagrees "
+                f"with the outputs CSV recomputation {float(value):.6f}"
+            )
+    return recomputed
+
+
 def aggregate_conditions(run_set: RunSet) -> Dict[str, Dict[str, Dict[str, float]]]:
-    """{condition: {metric: {mean, std, min, max, n}}} over seeds from the
-    validated ``test_primary`` blocks."""
+    """{condition: {metric: {mean, std, min, max, n}}} over seeds.
+
+    Values are recomputed from each run's outputs CSV when frames are
+    available (and cross-checked against the declared block); runs without
+    exported frames fall back to the validated ``test_primary`` numbers.
+    """
     out: Dict[str, Dict[str, Dict[str, float]]] = {}
     for condition, seed_map in run_set.runs.items():
         metric_values: Dict[str, List[float]] = {}
         for run in seed_map.values():
-            block = run.payload.get("test_primary") or {}
+            block = recompute_primary_metrics(run) or run.payload.get("test_primary") or {}
             for metric in run_set.config.metrics:
                 value = block.get(metric)
                 if isinstance(value, (int, float)) and math.isfinite(float(value)):
@@ -156,59 +194,50 @@ def aggregate_conditions(run_set: RunSet) -> Dict[str, Dict[str, Dict[str, float
     return out
 
 
-def _frame_arrays(run: CommonRun) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+def frame_sample_of(run: CommonRun) -> FrameSample:
+    """Build a cluster-aware bootstrap sample from a run's exported frames."""
     if not run.frames:
         raise GuardrailViolation(f"Run {run.metrics_path} has no outputs CSV frames")
-    probs = np.asarray([f.prob for f in run.frames], dtype=float)
-    labels = np.asarray([f.label for f in run.frames], dtype=int)
+    probs = [f.prob for f in run.frames]
+    labels = [f.label for f in run.frames]
     cases = [f.case_id or f.sequence_id or f.frame_id for f in run.frames]
-    return probs, labels, cases
+    tau = run.primary_tau if run.primary_tau is not None else 0.5
+    return FrameSample.build(probs, labels, cases, tau)
 
 
 def paired_deltas(
     run_set: RunSet,
     *,
-    metric: str = "f1",
+    metrics: Sequence[str] = ("auroc", "f1"),
     n_resamples: int = 2000,
 ) -> Dict[Tuple[str, str], Dict[str, Any]]:
-    """Cluster-bootstrap paired deltas for each configured comparison.
+    """True-metric cluster-bootstrap paired deltas per configured comparison.
 
-    For threshold metrics, the per-frame value is the correctness indicator
-    at the run's primary τ; case-level clusters resample together.
+    Each replicate resamples case clusters and recomputes the actual metric
+    (AUROC via ranks, threshold metrics at the run's τ) — not a per-frame
+    proxy — matching the reference's delta machinery
+    (``exp4_report.py:913-1007``).
     """
     comparisons = run_set.config.comparisons
     if not comparisons:
         return {}
 
-    def frame_scores(run: CommonRun) -> Tuple[np.ndarray, List[str]]:
-        probs, labels, cases = _frame_arrays(run)
-        tau = run.primary_tau if run.primary_tau is not None else 0.5
-        if metric == "auroc":
-            # rank-based per-frame contribution is ill-defined; use prob error
-            values = 1.0 - np.abs(labels - probs)
-        else:
-            preds = (probs >= tau).astype(int)
-            values = (preds == labels).astype(float)
-        return values, cases
-
     results: Dict[Tuple[str, str], Dict[str, Any]] = {}
     for baseline, contender in comparisons:
         if baseline not in run_set.runs or contender not in run_set.runs:
             continue
-        metrics_map: Dict[str, Dict[int, Sequence[float]]] = {}
-        clusters_map: Dict[str, Dict[int, Sequence[str]]] = {}
+        samples: Dict[str, Dict[int, FrameSample]] = {}
         for condition in (baseline, contender):
-            metrics_map[condition] = {}
-            clusters_map[condition] = {}
-            for seed, run in run_set.runs[condition].items():
-                values, cases = frame_scores(run)
-                metrics_map[condition][seed] = values
-                clusters_map[condition][seed] = cases
-        boot = Bootstrapper(metrics_map, clusters=clusters_map, n_resamples=n_resamples)
-        delta = boot.paired_delta(baseline, contender)
+            samples[condition] = {
+                seed: frame_sample_of(run)
+                for seed, run in run_set.runs[condition].items()
+            }
+        boot = FrameBootstrapper(samples, n_resamples=n_resamples)
         results[(baseline, contender)] = {
-            "metric": metric,
-            "delta": delta.as_dict(),
+            "metrics": {
+                metric: boot.paired_delta(baseline, contender, metric=metric).as_dict()
+                for metric in metrics
+            },
         }
     return results
 
@@ -245,17 +274,17 @@ def render_markdown_tables(
     lines.append("")
 
     if deltas:
-        lines.append("## Paired deltas (cluster bootstrap, 95% CI)")
+        lines.append("## Paired deltas (true-metric cluster bootstrap, 95% CI)")
         lines.append("")
         lines.append("| baseline | contender | metric | Δ | 95% CI |")
         lines.append("|---|---|---|---|---|")
         for (baseline, contender), info in deltas.items():
-            delta = info["delta"]
-            lines.append(
-                f"| {baseline} | {contender} | {info['metric']} | "
-                f"{format_delta(delta['mean'])} | "
-                f"[{format_value(delta['ci_lower'])}, {format_value(delta['ci_upper'])}] |"
-            )
+            for metric, delta in info["metrics"].items():
+                lines.append(
+                    f"| {baseline} | {contender} | {metric} | "
+                    f"{format_delta(delta['mean'])} | "
+                    f"[{format_value(delta['ci_lower'])}, {format_value(delta['ci_upper'])}] |"
+                )
         lines.append("")
 
     for section in config.extra_sections:
@@ -290,17 +319,18 @@ def generate_report(
     output_dir: str | Path,
     *,
     check_seed_protocol: bool = True,
-    delta_metric: str = "f1",
+    delta_metrics: Sequence[str] = ("auroc", "f1"),
     n_resamples: int = 2000,
 ) -> Dict[str, Any]:
     """Full pipeline: discover → validate → aggregate → render → manifest."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     run_set = discover_runs(runs_root, config)
+    run_set.n_resamples = int(n_resamples)
     if check_seed_protocol:
         check_seeds(run_set)
     aggregates = aggregate_conditions(run_set)
-    deltas = paired_deltas(run_set, metric=delta_metric, n_resamples=n_resamples)
+    deltas = paired_deltas(run_set, metrics=delta_metrics, n_resamples=n_resamples)
 
     markdown = render_markdown_tables(run_set, aggregates, deltas)
     md_path = output_dir / f"{config.exp_id}_report.md"
@@ -324,7 +354,7 @@ def generate_report(
         outputs=[md_path, csv_path],
         extra={
             "deltas": {
-                f"{a}->{b}": info["delta"] for (a, b), info in deltas.items()
+                f"{a}->{b}": info["metrics"] for (a, b), info in deltas.items()
             },
         },
     )

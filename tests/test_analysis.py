@@ -65,8 +65,10 @@ def synth_run(
                 "morphology": "flat" if i % 3 == 0 else "polypoid",
             })
 
+    # The declared block must agree with the frames — reporters now recompute
+    # and audit it (report_core.recompute_primary_metrics); `auroc`/`skill`
+    # steer the generator rather than pinning the stored number.
     block = compute_binary_metrics(probs, labels, tau)
-    block["auroc"] = auroc  # pin the headline number for deterministic assertions
     thresholds = {
         "primary": {
             "policy": "f1_opt_on_val", "tau": tau, "split": "sun_full/val", "epoch": 3,
@@ -125,15 +127,43 @@ def synth_run(
             "polypoid": {"recall": 0.9, "f1": 0.88, "auroc": auroc, "balanced_accuracy": 0.9},
         }
     if perturbations:
+        cases = [f"case{i}" for i in range(6)]
+        rng_p = np.random.default_rng(seed)
+
+        def per_case(center):
+            return {
+                c: {"f1": float(np.clip(rng_p.normal(center, 0.05), 0, 1)), "count": 4.0}
+                for c in cases
+            }
+
         payload["test_perturbations"] = {
             "per_tag": {
-                "clean": {"f1": 0.9, "count": 20},
-                "blur_sigma=1.5": {"f1": 0.7, "count": 20},
-                "jpeg_q=30": {"f1": 0.8, "count": 20},
-            }
+                "clean": {"f1": 0.9, "count": 24},
+                "blur_sigma=1.5": {"f1": 0.7, "count": 24},
+                "jpeg_q=30": {"f1": 0.8, "count": 24},
+            },
+            "per_case": {
+                "clean": per_case(0.9),
+                "blur_sigma=1.5": per_case(0.7),
+                "jpeg_q=30": per_case(0.8),
+            },
         }
     if zero_shot:
-        payload["zero_shot"] = {"tau": tau, "metrics": {"auroc": auroc - 0.1}}
+        zs_probs = np.clip(rng.normal(0.5 + (labels - 0.5) * 0.2, 0.2), 0.001, 0.999)
+        zs_path = directory / f"{stem}_zeroshot_outputs.csv"
+        with open(zs_path, "w", newline="") as handle:
+            writer = csv.DictWriter(handle, fieldnames=["frame_id", "prob", "label", "case_id"])
+            writer.writeheader()
+            for i in range(n_frames):
+                writer.writerow({
+                    "frame_id": f"f{i}", "prob": float(zs_probs[i]),
+                    "label": int(labels[i]), "case_id": f"case{i % 6}",
+                })
+        payload["zero_shot"] = {
+            "tau": tau,
+            "metrics": {"auroc": auroc - 0.1},
+            "outputs_csv": zs_path.name,
+        }
     (directory / f"{stem}.metrics.json").write_text(json.dumps(payload, indent=2))
     return payload
 
@@ -142,7 +172,7 @@ def test_guardrails_accept_valid(tmp_path):
     payload = synth_run(tmp_path)
     loader = ResultLoader("exp1")
     result = loader.load(next(tmp_path.glob("*.metrics.json")))
-    assert result.primary_metrics["auroc"] == pytest.approx(0.9)
+    assert 0.5 < result.primary_metrics["auroc"] <= 1.0
     assert loader.loaded_runs[0]["model"] == "SupImnet"
 
 
@@ -293,10 +323,17 @@ def test_exp1_report_end_to_end(tmp_path):
     result = run_report("exp1", runs, out, n_resamples=100)
     markdown = result["markdown"].read_text()
     assert "SupImnet" in markdown and "SslImnet" in markdown
-    assert result["aggregates"]["SslImnet"]["auroc"]["mean"] == pytest.approx(0.91)
+    # aggregates are now recomputed from the outputs CSVs; the higher-skill
+    # generator must come out ahead
+    assert (
+        result["aggregates"]["SslImnet"]["auroc"]["mean"]
+        > result["aggregates"]["SupImnet"]["auroc"]["mean"]
+    )
     assert ("SupImnet", "SslImnet") in result["deltas"]
-    delta = result["deltas"][("SupImnet", "SslImnet")]["delta"]
-    assert delta["mean"] > 0  # contender more accurate
+    deltas = result["deltas"][("SupImnet", "SslImnet")]["metrics"]
+    assert deltas["auroc"]["mean"] > 0  # true AUROC delta, not a proxy
+    assert deltas["auroc"]["ci_lower"] is not None
+    assert "f1" in deltas
     manifest = json.loads(result["manifest"].read_text())
     assert manifest["n_runs"] == 6
 
@@ -316,11 +353,21 @@ def test_exp4_learning_curve(tmp_path):
                 runs / f"p{percent}" / f"s{seed}", model="SslColon", seed=seed,
                 auroc=auroc, exp="exp4", subset_percent=float(percent),
             )
-    result = run_report("exp4", runs, tmp_path / "r", n_resamples=10)
+    for percent, auroc in ((10, 0.75), (50, 0.85), (100, 0.9)):
+        for seed in (13, 29, 47):
+            synth_run(
+                runs / "sup" / f"p{percent}" / f"s{seed}", model="SupImnet", seed=seed,
+                auroc=auroc, exp="exp4", subset_percent=float(percent), skill=1.2,
+            )
+    result = run_report("exp4", runs, tmp_path / "r", n_resamples=20)
     markdown = result["markdown"].read_text()
     assert "Learning curves" in markdown
-    assert "AULC" in markdown
+    assert "AULC [95% CI]" in markdown  # AULC carries a bootstrap CI
+    assert "Pairwise deltas by percent" in markdown
+    assert "AULC deltas" in markdown
     assert "SslColon@p10" in result["aggregates"]
+    # curve points carry CI brackets
+    assert markdown.count("[") > 10
 
 
 def test_exp5b_retention(tmp_path):
@@ -330,10 +377,15 @@ def test_exp5b_retention(tmp_path):
             runs / f"s{seed}", model="SslColon", seed=seed, exp="exp5b",
             perturbations=True,
         )
-    result = run_report("exp5b", runs, tmp_path / "r", n_resamples=10)
+    result = run_report("exp5b", runs, tmp_path / "r", n_resamples=50)
     markdown = result["markdown"].read_text()
     assert "Perturbation retention" in markdown
     assert "blur_sigma=1.5" in markdown
+    # per-severity axis and paired case-level CI vs clean
+    assert "| blur_sigma | 1.500 |" in markdown
+    blur_row = next(l for l in markdown.splitlines() if "blur_sigma=1.5" in l)
+    assert "[" in blur_row and "]" in blur_row  # bootstrap CI rendered
+    assert "-0.2" in blur_row  # ~0.7 − 0.9 per-case delta
 
 
 def test_exp5c_zero_shot_anchor(tmp_path):
@@ -343,7 +395,55 @@ def test_exp5c_zero_shot_anchor(tmp_path):
             runs / f"s{seed}", model="SslColon", seed=seed, exp="exp5c",
             fewshot_budget=50, zero_shot=True,
         )
-    result = run_report("exp5c", runs, tmp_path / "r", n_resamples=10)
+    result = run_report("exp5c", runs, tmp_path / "r", n_resamples=20)
     markdown = result["markdown"].read_text()
     assert "Zero-shot anchor" in markdown
     assert "SslColon@s50" in result["aggregates"]
+    # the zero-shot anchor is a curve point at budget 0 next to s50
+    assert "Few-shot curves" in markdown
+    curve_header = next(l for l in markdown.splitlines() if l.startswith("| model |"))
+    assert "s0" in curve_header and "s50" in curve_header
+
+
+def test_report_audit_rejects_tampered_primary(tmp_path):
+    """Aggregation recomputes from frames and rejects a doctored block."""
+    from ssl4polyp_tpu.analysis.guardrails import GuardrailViolation as GV
+
+    synth_run(tmp_path / "SupImnet" / "s13", model="SupImnet", seed=13)
+    path = next((tmp_path / "SupImnet" / "s13").glob("*.metrics.json"))
+    doctored = json.loads(path.read_text())
+    doctored["test_primary"]["auroc"] = min(1.0, doctored["test_primary"]["auroc"] + 0.05)
+    path.write_text(json.dumps(doctored))
+    with pytest.raises(GV, match="disagrees"):
+        run_report("exp1", tmp_path, tmp_path / "r", check_seed_protocol=False, n_resamples=10)
+
+
+def test_frame_bootstrap_true_auroc():
+    """FrameBootstrapper recomputes rank AUROC per replicate."""
+    from sklearn.metrics import roc_auc_score
+
+    from ssl4polyp_tpu.analysis.frame_bootstrap import FrameBootstrapper, FrameSample
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, 400)
+    weak = np.clip(rng.normal(0.5 + (labels - 0.5) * 0.2, 0.25), 0, 1)
+    strong = np.clip(rng.normal(0.5 + (labels - 0.5) * 0.6, 0.25), 0, 1)
+    cases = [f"c{i % 40}" for i in range(400)]
+    samples = {
+        "weak": {13: FrameSample.build(weak, labels, cases, 0.5)},
+        "strong": {13: FrameSample.build(strong, labels, cases, 0.5)},
+    }
+    boot = FrameBootstrapper(samples, n_resamples=300)
+    # full-sample metric matches sklearn exactly
+    assert samples["weak"][13].metric("auroc") == pytest.approx(
+        roc_auc_score(labels, weak), abs=1e-12
+    )
+    delta = boot.paired_delta("weak", "strong", metric="auroc")
+    expected = roc_auc_score(labels, strong) - roc_auc_score(labels, weak)
+    assert delta.mean == pytest.approx(expected, abs=1e-12)
+    assert delta.ci_lower > 0  # clearly separated
+    # determinism
+    delta2 = FrameBootstrapper(samples, n_resamples=300).paired_delta(
+        "weak", "strong", metric="auroc"
+    )
+    assert delta.samples == delta2.samples
