@@ -223,6 +223,115 @@ def test_torch_import_forward_equivalence(tmp_path):
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-4)
 
 
+def test_torch_full_forward_parity(tmp_path):
+    """Accuracy-parity evidence: the imported encoder reproduces a torch
+    reference ViT forward end to end (patchify → pos → blocks → norm →
+    pooling → head), within float32 tolerance.
+
+    The torch forward below mirrors the timm/MAE ``VisionTransformer``
+    semantics the reference fine-tunes (``models.py:68-141``): pre-LN blocks,
+    exact (erf) GELU, fp32 softmax at scale head_dim**-0.5.
+    """
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    torch.manual_seed(7)
+    D, depth, heads, P, C, img = 64, 3, 4, 8, 3, 32
+    grid = img // P
+    N = grid * grid
+    head_dim = D // heads
+    num_classes = 2
+
+    state = {
+        "cls_token": torch.randn(1, 1, D) * 0.02,
+        "pos_embed": torch.randn(1, N + 1, D) * 0.02,
+        "patch_embed.proj.weight": torch.randn(D, C, P, P) * 0.05,
+        "patch_embed.proj.bias": torch.randn(D) * 0.02,
+        "norm.weight": torch.rand(D) + 0.5,
+        "norm.bias": torch.randn(D) * 0.02,
+    }
+    for i in range(depth):
+        state.update({
+            f"blocks.{i}.norm1.weight": torch.rand(D) + 0.5,
+            f"blocks.{i}.norm1.bias": torch.randn(D) * 0.02,
+            f"blocks.{i}.attn.qkv.weight": torch.randn(3 * D, D) * 0.05,
+            f"blocks.{i}.attn.qkv.bias": torch.randn(3 * D) * 0.02,
+            f"blocks.{i}.attn.proj.weight": torch.randn(D, D) * 0.05,
+            f"blocks.{i}.attn.proj.bias": torch.randn(D) * 0.02,
+            f"blocks.{i}.norm2.weight": torch.rand(D) + 0.5,
+            f"blocks.{i}.norm2.bias": torch.randn(D) * 0.02,
+            f"blocks.{i}.mlp.fc1.weight": torch.randn(4 * D, D) * 0.05,
+            f"blocks.{i}.mlp.fc1.bias": torch.randn(4 * D) * 0.02,
+            f"blocks.{i}.mlp.fc2.weight": torch.randn(D, 4 * D) * 0.05,
+            f"blocks.{i}.mlp.fc2.bias": torch.randn(D) * 0.02,
+        })
+    head_w = torch.randn(num_classes, D) * 0.05
+    head_b = torch.randn(num_classes) * 0.02
+
+    def torch_forward(x):  # x: (B, C, H, W)
+        B = x.shape[0]
+        h = F.conv2d(x, state["patch_embed.proj.weight"],
+                     state["patch_embed.proj.bias"], stride=P)
+        h = h.flatten(2).transpose(1, 2)  # (B, N, D)
+        cls = state["cls_token"].expand(B, -1, -1)
+        h = torch.cat([cls, h], dim=1) + state["pos_embed"]
+        for i in range(depth):
+            y = F.layer_norm(h, (D,), state[f"blocks.{i}.norm1.weight"],
+                             state[f"blocks.{i}.norm1.bias"], eps=1e-6)
+            qkv = F.linear(y, state[f"blocks.{i}.attn.qkv.weight"],
+                           state[f"blocks.{i}.attn.qkv.bias"])
+            qkv = qkv.reshape(B, N + 1, 3, heads, head_dim).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q @ k.transpose(-2, -1)) * head_dim ** -0.5
+            y = (attn.softmax(dim=-1) @ v).transpose(1, 2).reshape(B, N + 1, D)
+            y = F.linear(y, state[f"blocks.{i}.attn.proj.weight"],
+                         state[f"blocks.{i}.attn.proj.bias"])
+            h = h + y
+            y = F.layer_norm(h, (D,), state[f"blocks.{i}.norm2.weight"],
+                             state[f"blocks.{i}.norm2.bias"], eps=1e-6)
+            y = F.linear(y, state[f"blocks.{i}.mlp.fc1.weight"],
+                         state[f"blocks.{i}.mlp.fc1.bias"])
+            y = F.gelu(y)  # exact erf GELU, matching layers.mlp approximate=False
+            y = F.linear(y, state[f"blocks.{i}.mlp.fc2.weight"],
+                         state[f"blocks.{i}.mlp.fc2.bias"])
+            h = h + y
+        h = F.layer_norm(h, (D,), state["norm.weight"], state["norm.bias"], eps=1e-6)
+        return h
+
+    images_t = torch.randn(2, C, img, img)
+    with torch.no_grad():
+        ref_tokens = torch_forward(images_t).numpy()
+        ref_logits_cls = F.linear(
+            torch.from_numpy(ref_tokens)[:, 0], head_w, head_b
+        ).numpy()
+        ref_pooled_spatial = ref_tokens[:, 1:].mean(axis=1)
+
+    ckpt = tmp_path / "mae_parity.pth"
+    torch.save({"model": state}, ckpt)
+
+    from ssl4polyp_tpu.models.import_torch import load_torch_state_dict, mae_params_from_torch
+    from ssl4polyp_tpu.models.vit import vit_features, vit_forward
+
+    cfg = ViTConfig(
+        img_size=img, patch_size=P, embed_dim=D, depth=depth, num_heads=heads,
+        pos_embed="learned", compute_dtype=jnp.float32, num_classes=num_classes,
+    )
+    params = jax.tree.map(jnp.asarray, mae_params_from_torch(load_torch_state_dict(ckpt), cfg))
+    images = jnp.asarray(images_t.permute(0, 2, 3, 1).numpy())
+
+    tokens = np.asarray(vit_features(params, images, cfg))
+    np.testing.assert_allclose(tokens, ref_tokens, rtol=1e-4, atol=1e-5)
+
+    params["head"] = {"kernel": jnp.asarray(head_w.numpy().T), "bias": jnp.asarray(head_b.numpy())}
+    logits = np.asarray(vit_forward(params, images, cfg))
+    np.testing.assert_allclose(logits, ref_logits_cls, rtol=1e-4, atol=1e-5)
+
+    from ssl4polyp_tpu.models.vit import pool_tokens
+
+    pooled = np.asarray(pool_tokens(jnp.asarray(tokens), "spatial"))
+    np.testing.assert_allclose(pooled, ref_pooled_spatial, rtol=1e-4, atol=1e-5)
+
+
 def test_ssl_colon_flow_native_checkpoint(tmp_path, rng_key):
     """Our own MAE pretraining checkpoint feeds get_mae_backbone directly."""
     import jax
