@@ -87,8 +87,23 @@ def cast_params_for_compute(params: Params, dtype) -> Params:
     return jax.tree_util.tree_map_with_path(leaf, params)
 
 
-def layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """LayerNorm with fp32 statistics regardless of compute dtype."""
+def layernorm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    eps: float = 1e-6,
+    fused: bool = False,
+) -> jax.Array:
+    """LayerNorm with fp32 statistics regardless of compute dtype.
+
+    With ``fused`` (and a TPU backend, 3-D activations) the backward pass
+    runs as a single Pallas kernel per layer instead of XLA's scattered
+    param-grad reduction fusions (see :mod:`ssl4polyp_tpu.ops.layernorm`).
+    """
+    if fused and x.ndim == 3 and jax.default_backend() != "cpu":
+        from ssl4polyp_tpu.ops.layernorm import layernorm_fused_bwd
+
+        return layernorm_fused_bwd(x, scale, bias, eps)
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -200,12 +215,14 @@ def run_blocks(
     """
 
     def body(h, layer):
-        a = layernorm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], ln_eps)
+        a = layernorm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], ln_eps,
+                      fused=use_pallas)
         h = h + attention(
             a, layer["attn"], num_heads,
             use_pallas=use_pallas, softmax_f32=softmax_f32,
         )
-        m = layernorm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], ln_eps)
+        m = layernorm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], ln_eps,
+                      fused=use_pallas)
         h = h + mlp(m, layer["mlp"])
         return h, None
 

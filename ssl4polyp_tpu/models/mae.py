@@ -148,7 +148,8 @@ def mae_encode(
         use_pallas=enc.use_pallas_attention, remat=enc.remat,
         unroll=enc.unroll_blocks, softmax_f32=enc.attention_softmax_f32,
     )
-    h = layers.layernorm(h, params["norm"]["scale"], params["norm"]["bias"], enc.ln_eps)
+    h = layers.layernorm(h, params["norm"]["scale"], params["norm"]["bias"],
+                         enc.ln_eps, fused=enc.use_pallas_attention)
     return h, mask, ids_restore
 
 
@@ -177,7 +178,8 @@ def mae_decode(
         use_pallas=enc.use_pallas_attention, remat=enc.remat,
         unroll=enc.unroll_blocks, softmax_f32=enc.attention_softmax_f32,
     )
-    x = layers.layernorm(x, dec["norm"]["scale"], dec["norm"]["bias"], enc.ln_eps)
+    x = layers.layernorm(x, dec["norm"]["scale"], dec["norm"]["bias"],
+                         enc.ln_eps, fused=enc.use_pallas_attention)
     x = layers.linear(x, dec["pred"])
     return x[:, 1:, :]  # drop cls
 

@@ -6,16 +6,24 @@ per-head (B, H, N, hd) tensors materialises several HBM-round-trip copies
 per block, and the (N, N) score tensors travel to HBM between the matmul
 and softmax.
 
-This kernel takes the QKV projection output as-is — one (1, N_pad, 3D)
-VMEM block per batch row — performs the head split, batched per-head
-matmuls, masked softmax and the value contraction entirely in VMEM, and
-emits the (1, N_pad, D) attention output ready for the output projection.
-A custom VJP recomputes the weights in VMEM for the backward (cheap at ViT
-sequence lengths) and produces the (B, N, 3D) QKV gradient directly.
+This kernel takes the QKV projection output as-is — (G, N, 3D) VMEM blocks
+of G batch rows — performs the head split, softmax and the score/value
+contractions entirely in VMEM, and emits the (G, N, D) attention output
+ready for the output projection.  A custom VJP recomputes the weights in
+VMEM for the backward (cheap at ViT sequence lengths) and produces the
+(B, N, 3D) QKV gradient directly.
 
-Layout notes: head split uses an in-VMEM reshape + transpose to (H, N, hd)
-(vector shuffles, no HBM traffic); per-head score matmuls run as one
-``dot_general`` batched over H.
+Two hardware lessons are baked in (measured on v5e):
+
+* All matmuls take **bf16 operands with fp32 MXU accumulation** — explicit
+  fp32 operands would force multi-pass fp32 MXU work.
+* Per-head ``dot_general`` loops are dominated by **fixed per-dot
+  overhead** at ViT head sizes ((N, 32) tiles), not FLOPs: timing was
+  invariant to the rows-per-program choice.  So the head split stacks the
+  lane-sliced heads into head-major (H, G, N, hd) VMEM arrays (vector
+  shuffles, no HBM traffic) and every per-head matmul runs as **one**
+  dot_general batched over (H, G) — 2 dots per program forward, 5 backward,
+  instead of 2·H / 5·H.
 """
 
 from __future__ import annotations
@@ -31,121 +39,143 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_qkv_attention"]
 
 
-def _round_up(value: int, multiple: int) -> int:
-    return ((value + multiple - 1) // multiple) * multiple
+def _split_heads(qkv, base: int, num_heads: int, head_dim: int):
+    """(G, N, 3D) lane slices → head-major (H·G, N, hd) stack in VMEM.
+
+    Mosaic's matmul supports a single batch dimension, so heads and rows
+    collapse into one leading axis.
+    """
+    g, n = qkv.shape[0], qkv.shape[1]
+    stacked = jnp.stack(
+        [
+            qkv[:, :, base + h * head_dim: base + (h + 1) * head_dim]
+            for h in range(num_heads)
+        ]
+    )
+    return stacked.reshape(num_heads * g, n, head_dim)
 
 
-def _head_weights(q_h, k_h, n_valid: int, scale: float, f32: bool):
-    """Masked softmax weights for one head over G batch rows.
+def _batched_weights(q, k, n_valid: int, scale: float, f32: bool):
+    """Masked softmax weights for all heads at once.
 
-    q_h/k_h: (G, N_pad, hd) → weights (G, N_pad, N_pad) f32.
+    q/k: (H·G, N, hd) → weights (H·G, N, N) fp32.
     """
     scores = jax.lax.dot_general(
-        q_h, k_h,
+        q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale
-    n_pad = scores.shape[-1]
-    if n_valid < n_pad:
+    n = scores.shape[-1]
+    if n_valid < n:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=2)
         scores = jnp.where(col < n_valid, scores, -jnp.inf)
     if not f32:
-        scores = scores.astype(q_h.dtype).astype(jnp.float32)
+        scores = scores.astype(q.dtype).astype(jnp.float32)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     weights = jnp.exp(scores)
     return weights / jnp.sum(weights, axis=-1, keepdims=True)
 
 
 def _fwd_kernel(qkv_ref, out_ref, *, n_valid, num_heads, head_dim, scale, f32):
-    # Static per-head lane slices (mosaic handles lane-offset slicing; the
-    # lane→sublane reshape a head-major transpose would need is unsupported).
-    # Each program covers G batch rows so the per-head matmuls run as
-    # G-batched dot_generals that keep the MXU fed.
     D = num_heads * head_dim
-    qkv_rows = qkv_ref[:]  # (G, N_pad, 3D)
+    G, N = qkv_ref.shape[0], qkv_ref.shape[1]
+    qkv = qkv_ref[:]  # (G, N, 3D)
+    q = _split_heads(qkv, 0, num_heads, head_dim)
+    k = _split_heads(qkv, D, num_heads, head_dim)
+    v = _split_heads(qkv, 2 * D, num_heads, head_dim)
+    weights = _batched_weights(q, k, n_valid, scale, f32)
+    out = jax.lax.dot_general(  # (H·G, N, hd)
+        weights.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype).reshape(num_heads, G, N, head_dim)
     for h in range(num_heads):
-        lo = h * head_dim
-        q_h = qkv_rows[:, :, lo:lo + head_dim]
-        k_h = qkv_rows[:, :, D + lo:D + lo + head_dim]
-        v_h = qkv_rows[:, :, 2 * D + lo:2 * D + lo + head_dim]
-        weights = _head_weights(q_h, k_h, n_valid, scale, f32)
-        out_h = jax.lax.dot_general(
-            weights.astype(v_h.dtype), v_h,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[:, :, lo:lo + head_dim] = out_h.astype(out_ref.dtype)
+        out_ref[:, :, h * head_dim:(h + 1) * head_dim] = out[h]
 
 
 def _bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, n_valid, num_heads, head_dim, scale, f32):
     D = num_heads * head_dim
-    qkv_rows = qkv_ref[:]
+    cdtype = qkv_ref.dtype
+    G, N = qkv_ref.shape[0], qkv_ref.shape[1]
+    qkv = qkv_ref[:]
+    q = _split_heads(qkv, 0, num_heads, head_dim)
+    k = _split_heads(qkv, D, num_heads, head_dim)
+    v = _split_heads(qkv, 2 * D, num_heads, head_dim)
+    dout = _split_heads(dout_ref[:], 0, num_heads, head_dim)
+
+    weights = _batched_weights(q, k, n_valid, scale, f32)  # (H·G, N, N) f32
+    w_c = weights.astype(cdtype)
+
+    dv = jax.lax.dot_general(  # Wᵀ dO
+        w_c, dout,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dw = jax.lax.dot_general(  # dO Vᵀ
+        dout, v,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    tmp = jnp.sum(dw * weights, axis=-1, keepdims=True)
+    ds = (weights * (dw - tmp) * scale).astype(cdtype)
+    dq = jax.lax.dot_general(
+        ds, k,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = jax.lax.dot_general(  # dSᵀ Q
+        ds, q,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dq = dq.reshape(num_heads, G, N, head_dim)
+    dk = dk.reshape(num_heads, G, N, head_dim)
+    dv = dv.reshape(num_heads, G, N, head_dim)
     for h in range(num_heads):
         lo = h * head_dim
-        q_h = qkv_rows[:, :, lo:lo + head_dim]
-        k_h = qkv_rows[:, :, D + lo:D + lo + head_dim]
-        v_h = qkv_rows[:, :, 2 * D + lo:2 * D + lo + head_dim]
-        dout_h = dout_ref[:, :, lo:lo + head_dim].astype(jnp.float32)
-
-        weights = _head_weights(q_h, k_h, n_valid, scale, f32)  # (G, N, N) f32
-        v32 = v_h.astype(jnp.float32)
-        q32 = q_h.astype(jnp.float32)
-        k32 = k_h.astype(jnp.float32)
-
-        dv = jax.lax.dot_general(  # Wᵀ dO
-            weights, dout_h,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        dw = jax.lax.dot_general(  # dO Vᵀ
-            dout_h, v32,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        tmp = jnp.sum(dw * weights, axis=-1, keepdims=True)
-        ds = weights * (dw - tmp) * scale
-        dq = jax.lax.dot_general(
-            ds, k32,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        dk = jax.lax.dot_general(  # dSᵀ Q
-            ds, q32,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        dqkv_ref[:, :, lo:lo + head_dim] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, D + lo:D + lo + head_dim] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, 2 * D + lo:2 * D + lo + head_dim] = dv.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, lo:lo + head_dim] = dq[h].astype(cdtype)
+        dqkv_ref[:, :, D + lo:D + lo + head_dim] = dk[h].astype(cdtype)
+        dqkv_ref[:, :, 2 * D + lo:2 * D + lo + head_dim] = dv[h].astype(cdtype)
 
 
-def _specs(rows, n_pad, width, count):
+def _specs(rows, n, width, count):
     return [
-        pl.BlockSpec((rows, n_pad, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((rows, n, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         for _ in range(count)
     ]
 
 
-def _rows_per_program(B: int, n_pad: int, threeD: int, itemsize: int) -> int:
-    """Pick G so each program's VMEM working set stays well under budget."""
-    for g in (32, 16, 8, 4, 2, 1):
+def _rows_per_program(
+    B: int, n: int, num_heads: int, io_width: int, score_copies: float,
+    itemsize: int,
+) -> int:
+    """Pick G so each program's VMEM working set stays under budget.
+
+    ``io_width`` is the summed feature width of all streamed input/output
+    blocks per row (the pipeline double-buffers those, so they count twice);
+    ``score_copies`` bounds the live (H, G, N, N) fp32 score temporaries.
+    Budget is 10 MB of the 16 MB scoped VMEM, leaving headroom for the
+    head-major stacks and Mosaic's own stack.
+    """
+    for g in (16, 8, 4, 2, 1):
         if B % g:
             continue
-        qkv_bytes = g * n_pad * threeD * itemsize
-        score_bytes = g * n_pad * n_pad * 4
-        if qkv_bytes + 3 * score_bytes < 10 * 1024 * 1024:
+        io_bytes = 2 * g * n * io_width * itemsize
+        score_bytes = int(score_copies * num_heads * g * n * n * 4)
+        if io_bytes + score_bytes < 10 * 1024 * 1024:
             return g
     return 1
 
 
 def _forward_impl(qkv, num_heads, interpret, softmax_f32):
+    # No explicit sequence padding: Mosaic tiles ragged sublane block shapes
+    # itself (masked), which avoids the pad/slice HBM copies an aligned
+    # wrapper would add around every block (~1.6 ms/step on the MAE decoder).
     B, N, threeD = qkv.shape
     D = threeD // 3
     head_dim = D // num_heads
     scale = 1.0 / math.sqrt(head_dim)
-    n_pad = max(_round_up(N, 8), 8)
-    padded = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
-    rows = _rows_per_program(B, n_pad, threeD, qkv.dtype.itemsize)
+    rows = _rows_per_program(B, N, num_heads, threeD + D, 1.5, qkv.dtype.itemsize)
     kernel = functools.partial(
         _fwd_kernel, n_valid=N, num_heads=num_heads,
         head_dim=head_dim, scale=scale, f32=softmax_f32,
@@ -153,17 +183,17 @@ def _forward_impl(qkv, num_heads, interpret, softmax_f32):
     out = pl.pallas_call(
         kernel,
         grid=(B // rows,),
-        in_specs=_specs(rows, n_pad, threeD, 1),
-        out_specs=_specs(rows, n_pad, D, 1)[0],
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, D), qkv.dtype),
+        in_specs=_specs(rows, N, threeD, 1),
+        out_specs=_specs(rows, N, D, 1)[0],
+        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * num_heads * n_pad * n_pad * head_dim,
-            bytes_accessed=2 * B * n_pad * (threeD + D) * qkv.dtype.itemsize,
-            transcendentals=B * num_heads * n_pad * n_pad,
+            flops=4 * B * num_heads * N * N * head_dim,
+            bytes_accessed=2 * B * N * (threeD + D) * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
         ),
         interpret=interpret,
-    )(padded)
-    return out[:, :N, :]
+    )(qkv)
+    return out
 
 
 def _backward_impl(qkv, grad_out, num_heads, interpret, softmax_f32):
@@ -171,10 +201,9 @@ def _backward_impl(qkv, grad_out, num_heads, interpret, softmax_f32):
     D = threeD // 3
     head_dim = D // num_heads
     scale = 1.0 / math.sqrt(head_dim)
-    n_pad = max(_round_up(N, 8), 8)
-    qkv_p = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
-    dout_p = jnp.pad(grad_out, ((0, 0), (0, n_pad - N), (0, 0)))
-    rows = _rows_per_program(B, n_pad, threeD, qkv.dtype.itemsize)
+    rows = _rows_per_program(
+        B, N, num_heads, 2 * threeD + D, 2.5, qkv.dtype.itemsize
+    )
     kernel = functools.partial(
         _bwd_kernel, n_valid=N, num_heads=num_heads,
         head_dim=head_dim, scale=scale, f32=softmax_f32,
@@ -182,17 +211,17 @@ def _backward_impl(qkv, grad_out, num_heads, interpret, softmax_f32):
     dqkv = pl.pallas_call(
         kernel,
         grid=(B // rows,),
-        in_specs=_specs(rows, n_pad, threeD, 1) + _specs(rows, n_pad, D, 1),
-        out_specs=_specs(rows, n_pad, threeD, 1)[0],
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, threeD), qkv.dtype),
+        in_specs=_specs(rows, N, threeD, 1) + _specs(rows, N, D, 1),
+        out_specs=_specs(rows, N, threeD, 1)[0],
+        out_shape=jax.ShapeDtypeStruct((B, N, threeD), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=10 * B * num_heads * n_pad * n_pad * head_dim,
-            bytes_accessed=3 * B * n_pad * (threeD + D) * qkv.dtype.itemsize,
-            transcendentals=B * num_heads * n_pad * n_pad,
+            flops=10 * B * num_heads * N * N * head_dim,
+            bytes_accessed=3 * B * N * (threeD + D) * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
         ),
         interpret=interpret,
-    )(qkv_p, dout_p)
-    return dqkv[:, :N, :]
+    )(qkv, grad_out)
+    return dqkv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
