@@ -27,9 +27,12 @@ def test_fused_layernorm_matches_autodiff(shape, dtype):
     y_ref, vjp_ref = jax.vjp(lambda *a: layernorm(*a), x, scale, bias)
     y_fused, vjp_fused = jax.vjp(fused, x, scale, bias)
 
+    # bf16 outputs may differ by 1 ulp from reduction-order differences
+    # between the in-kernel stats and XLA's lowering.
+    y_tol = 1e-5 if dtype == jnp.float32 else 1e-2
     np.testing.assert_allclose(
         np.asarray(y_fused, np.float32), np.asarray(y_ref, np.float32),
-        atol=1e-5, rtol=1e-5,
+        atol=y_tol, rtol=y_tol,
     )
     dx_r, ds_r, db_r = vjp_ref(dy)
     dx_f, ds_f, db_f = vjp_fused(dy)
