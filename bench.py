@@ -58,36 +58,45 @@ def main() -> None:
     wd_scale = optim.no_weight_decay_scales(params)
     ones = jax.tree_util.tree_map(lambda _: 1.0, params)
 
-    def loss_fn(p, images_u8, key):
+    from ssl4polyp_tpu.models.layers import cast_params_for_compute
+
+    def loss_fn(p_c, images_u8, key):
         images = normalize_batch(images_u8, dtype=cfg.encoder.compute_dtype)
-        loss, _, _ = mae_forward(p, images, key, cfg)
+        loss, _, _ = mae_forward(p_c, images, key, cfg)
         return loss
 
     steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
 
-    def one_step(p, s, images_u8, key, lr):
-        loss, grads = jax.value_and_grad(loss_fn)(p, images_u8, key)
+    # The compute-dtype parameter copy is carried through the step: the
+    # cast of the UPDATED params fuses into the AdamW write (one pass),
+    # instead of the forward re-reading the full fp32 tree every microstep.
+    # Gradients w.r.t. the bf16 copy are numerically identical to grads
+    # w.r.t. fp32 params through the cast (the transpose of a convert is a
+    # convert); AdamW upcasts them to fp32 itself.
+    def one_step(p, p_c, s, images_u8, key, lr):
+        loss, grads = jax.value_and_grad(loss_fn)(p_c, images_u8, key)
         p, s = optim.adamw_update(
             p, grads, s, lr=lr, b1=0.9, b2=0.95, weight_decay=0.05,
             lr_scale=ones, wd_scale=wd_scale,
         )
-        return p, s, loss
+        p_c = cast_params_for_compute(p, cfg.encoder.compute_dtype)
+        return p, p_c, s, loss
 
-    def step(p, s, images_u8, key, lr):
+    def step(p, p_c, s, images_u8, key, lr):
         if steps_per_call == 1:
-            return one_step(p, s, images_u8, key, lr)
+            return one_step(p, p_c, s, images_u8, key, lr)
 
         # K optimizer steps fused into one dispatch: images_u8 is
         # (K, B, H, W, 3); identical math to K sequential steps.
         def body(carry, xs):
-            p, s = carry
+            p, p_c, s = carry
             micro_images, micro_key = xs
-            p, s, loss = one_step(p, s, micro_images, micro_key, lr)
-            return (p, s), loss
+            p, p_c, s, loss = one_step(p, p_c, s, micro_images, micro_key, lr)
+            return (p, p_c, s), loss
 
         keys = jax.random.split(key, steps_per_call)
-        (p, s), losses = jax.lax.scan(body, (p, s), (images_u8, keys))
-        return p, s, losses[-1]
+        (p, p_c, s), losses = jax.lax.scan(body, (p, p_c, s), (images_u8, keys))
+        return p, p_c, s, losses[-1]
 
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P("data"))
@@ -96,9 +105,10 @@ def main() -> None:
     )
     jit_step = jax.jit(
         step,
-        in_shardings=(replicated, replicated, image_sharding, replicated, replicated),
-        out_shardings=(replicated, replicated, replicated),
-        donate_argnums=(0, 1),
+        in_shardings=(replicated, replicated, replicated, image_sharding,
+                      replicated, replicated),
+        out_shardings=(replicated, replicated, replicated, replicated),
+        donate_argnums=(0, 1, 2),
     )
 
     rng = np.random.default_rng(0)
@@ -110,6 +120,10 @@ def main() -> None:
         NamedSharding(mesh, P(None, "data")) if steps_per_call > 1 else sharded,
     )
     params = jax.device_put(params, replicated)
+    params_c = jax.device_put(
+        jax.jit(lambda p: cast_params_for_compute(p, cfg.encoder.compute_dtype))(params),
+        replicated,
+    )
     opt_state = jax.device_put(opt_state, replicated)
     lr = jax.device_put(jnp.float32(1e-3), replicated)
 
@@ -117,14 +131,15 @@ def main() -> None:
     # timing is robust even if the transport treats block_until_ready loosely.
     key = jax.random.PRNGKey(1)
     for i in range(3):
-        params, opt_state, loss = jit_step(params, opt_state, images, jax.random.fold_in(key, i), lr)
+        params, params_c, opt_state, loss = jit_step(
+            params, params_c, opt_state, images, jax.random.fold_in(key, i), lr)
     float(loss)
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        params, opt_state, loss = jit_step(
-            params, opt_state, images, jax.random.fold_in(key, 100 + i), lr
+        params, params_c, opt_state, loss = jit_step(
+            params, params_c, opt_state, images, jax.random.fold_in(key, 100 + i), lr
         )
     float(loss)
     elapsed = time.perf_counter() - t0

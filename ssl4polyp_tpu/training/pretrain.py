@@ -37,6 +37,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ssl4polyp_tpu.data.augment import normalize_batch
 from ssl4polyp_tpu.data.folder import ImageFolderIndex, PretrainLoader
+from ssl4polyp_tpu.models.layers import cast_params_for_compute
 from ssl4polyp_tpu.models.mae import MAEConfig, MAE_VIT_B16, init_mae, mae_forward
 from ssl4polyp_tpu.parallel.mesh import build_mesh
 from ssl4polyp_tpu.training import optim
@@ -131,23 +132,32 @@ def make_pretrain_step(
 ):
     """Build the jitted train step.
 
-    Signature: ``(params, opt_state, images_u8, key, lr) → (params, opt_state,
-    metrics)``.  ``images_u8`` is (accum, B, H, W, 3) uint8 sharded along
-    "data" on the batch axis — or (steps, accum, B, H, W, 3) when
-    ``steps_per_call > 1``, in which case that many full optimizer steps run
-    inside ONE dispatch (identical math; amortises per-dispatch latency).
+    Signature: ``(params, params_c, opt_state, images_u8, key, it0, lr,
+    lr_scale, wd_scale) → (params, params_c, opt_state, metrics)``.
+    ``images_u8`` is (accum, B, H, W, 3) uint8 sharded along "data" on the
+    batch axis — or (steps, accum, B, H, W, 3) when ``steps_per_call > 1``,
+    in which case that many full optimizer steps run inside ONE dispatch
+    (identical math; amortises per-dispatch latency).
+
+    ``params_c`` is the compute-dtype copy of ``params`` (see
+    :func:`init_compute_params`): the forward consumes it directly and the
+    post-update recast fuses into the AdamW write, so the fp32 master tree
+    is never re-read per microbatch.  Gradients w.r.t. the copy are
+    numerically identical to gradients w.r.t. fp32 params taken through the
+    in-forward cast (the transpose of a convert is a convert); AdamW
+    upcasts them to fp32 itself.
     """
 
-    def loss_fn(params, images_u8, key):
+    def loss_fn(params_c, images_u8, key):
         images = normalize_batch(images_u8, dtype=cfg.encoder.compute_dtype)
-        loss, _, _ = mae_forward(params, images, key, cfg)
+        loss, _, _ = mae_forward(params_c, images, key, cfg)
         return loss
 
-    def one_step(params, opt_state, images_u8, step_key, lr, lr_scale, wd_scale):
+    def one_step(params, params_c, opt_state, images_u8, step_key, lr, lr_scale, wd_scale):
         def microbatch(carry, xs):
             grads_acc, loss_acc = carry
             micro_images, micro_key = xs
-            loss, grads = jax.value_and_grad(loss_fn)(params, micro_images, micro_key)
+            loss, grads = jax.value_and_grad(loss_fn)(params_c, micro_images, micro_key)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return (grads_acc, loss_acc + loss), None
 
@@ -173,33 +183,36 @@ def make_pretrain_step(
             lr_scale=lr_scale,
             wd_scale=wd_scale,
         )
+        params_c = cast_params_for_compute(params, cfg.encoder.compute_dtype)
         metrics = {"loss": loss, "grad_norm": grad_norm}
-        return params, opt_state, metrics
+        return params, params_c, opt_state, metrics
 
-    def step_fn(params, opt_state, images_u8, epoch_key, it0, lr, lr_scale, wd_scale):
+    def step_fn(params, params_c, opt_state, images_u8, epoch_key, it0, lr,
+                lr_scale, wd_scale):
         # Per-step keys are fold_in(epoch_key, global_iteration) regardless
         # of dispatch fusion, so steps_per_call=K is bit-identical to K
         # sequential dispatches (tested).
         if steps_per_call == 1:
             return one_step(
-                params, opt_state, images_u8,
+                params, params_c, opt_state, images_u8,
                 jax.random.fold_in(epoch_key, it0), lr, lr_scale, wd_scale,
             )
 
         def body(carry, xs):
-            p, s = carry
+            p, p_c, s = carry
             chunk_images, offset = xs
             step_key = jax.random.fold_in(epoch_key, it0 + offset)
-            p, s, metrics = one_step(p, s, chunk_images, step_key, lr, lr_scale, wd_scale)
-            return (p, s), metrics
+            p, p_c, s, metrics = one_step(
+                p, p_c, s, chunk_images, step_key, lr, lr_scale, wd_scale)
+            return (p, p_c, s), metrics
 
         offsets = jnp.arange(steps_per_call)
-        (params, opt_state), metrics = jax.lax.scan(
-            body, (params, opt_state), (images_u8, offsets)
+        (params, params_c, opt_state), metrics = jax.lax.scan(
+            body, (params, params_c, opt_state), (images_u8, offsets)
         )
         last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         last["loss"] = jnp.mean(metrics["loss"])
-        return params, opt_state, last
+        return params, params_c, opt_state, last
 
     replicated = NamedSharding(mesh, P())
     batch_axis = 2 if steps_per_call > 1 else 1
@@ -207,11 +220,21 @@ def make_pretrain_step(
     data_sharded = NamedSharding(mesh, spec)
     return jax.jit(
         step_fn,
-        in_shardings=(replicated, replicated, data_sharded, replicated, replicated,
-                      replicated, replicated, replicated),
-        out_shardings=(replicated, replicated, replicated),
-        donate_argnums=(0, 1),
+        in_shardings=(replicated, replicated, replicated, data_sharded,
+                      replicated, replicated, replicated, replicated, replicated),
+        out_shardings=(replicated, replicated, replicated, replicated),
+        donate_argnums=(0, 1, 2),
     )
+
+
+def init_compute_params(params, cfg: MAEConfig, mesh):
+    """Build the replicated compute-dtype parameter copy for the train step."""
+    replicated = NamedSharding(mesh, P())
+    cast = jax.jit(
+        lambda p: cast_params_for_compute(p, cfg.encoder.compute_dtype),
+        out_shardings=replicated,
+    )
+    return cast(jax.device_put(params, replicated))
 
 
 def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
@@ -271,6 +294,7 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
 
     lr_scale = jax.tree_util.tree_map(lambda _: 1.0, params)
     wd_scale = optim.no_weight_decay_scales(params)
+    params_c = init_compute_params(params, cfg, mesh)
     steps_per_call = max(1, int(settings.steps_per_call))
     train_step = make_pretrain_step(
         cfg, mesh, settings.accum_iter, settings.weight_decay, steps_per_call
@@ -354,8 +378,8 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
                 epoch_key = jax.random.fold_in(root_key, epoch)
                 if steps_per_call > 1 and chunk == steps_per_call:
                     device_batch = jax.device_put(np.stack(pending), data_sharding)
-                    params, opt_state, metrics = train_step(
-                        params, opt_state, device_batch,
+                    params, params_c, opt_state, metrics = train_step(
+                        params, params_c, opt_state, device_batch,
                         epoch_key, jnp.int32(it), jnp.float32(lr), lr_scale, wd_scale,
                     )
                 else:
@@ -363,8 +387,8 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
                     single_sharding = NamedSharding(mesh, P(None, "data"))
                     for j, single in enumerate(pending):
                         device_batch = jax.device_put(single, single_sharding)
-                        params, opt_state, metrics = train_step_single(
-                            params, opt_state, device_batch,
+                        params, params_c, opt_state, metrics = train_step_single(
+                            params, params_c, opt_state, device_batch,
                             epoch_key, jnp.int32(it + j), jnp.float32(lr),
                             lr_scale, wd_scale,
                         )
