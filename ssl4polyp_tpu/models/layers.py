@@ -205,6 +205,7 @@ def run_blocks(
     remat: bool = False,
     unroll: bool = False,
     softmax_f32: bool = True,
+    fused_ln: Optional[bool] = None,
 ) -> jax.Array:
     """Apply the stacked pre-norm blocks with ``lax.scan``.
 
@@ -214,15 +215,25 @@ def run_blocks(
     longer compiles, but XLA can fuse and schedule across block boundaries.
     """
 
+    # Auto policy (fused_ln=None): the Pallas LN kernels win at small
+    # batches (+1% at B=64: XLA's fp32 LN reductions round-trip HBM) but
+    # lose at large ones (−4% at B=256: XLA flips the residual stream to a
+    # batch-major {2,0,1} layout and every custom call pins {2,1,0},
+    # inserting relayout copies).  Measured on v5e, PERF_NOTES.md round 2.
+    if fused_ln is None:
+        ln_fused = use_pallas and x.shape[0] < 256
+    else:
+        ln_fused = fused_ln
+
     def body(h, layer):
         a = layernorm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], ln_eps,
-                      fused=use_pallas)
+                      fused=ln_fused)
         h = h + attention(
             a, layer["attn"], num_heads,
             use_pallas=use_pallas, softmax_f32=softmax_f32,
         )
         m = layernorm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], ln_eps,
-                      fused=use_pallas)
+                      fused=ln_fused)
         h = h + mlp(m, layer["mlp"])
         return h, None
 

@@ -147,9 +147,10 @@ def mae_encode(
         h, params["blocks"], enc.num_heads, ln_eps=enc.ln_eps,
         use_pallas=enc.use_pallas_attention, remat=enc.remat,
         unroll=enc.unroll_blocks, softmax_f32=enc.attention_softmax_f32,
+        fused_ln=enc.fused_ln,
     )
     h = layers.layernorm(h, params["norm"]["scale"], params["norm"]["bias"],
-                         enc.ln_eps, fused=enc.use_pallas_attention)
+                         enc.ln_eps, fused=enc.fused_ln)
     return h, mask, ids_restore
 
 
@@ -177,9 +178,10 @@ def mae_decode(
         x, dec["blocks"], cfg.decoder_num_heads, ln_eps=enc.ln_eps,
         use_pallas=enc.use_pallas_attention, remat=enc.remat,
         unroll=enc.unroll_blocks, softmax_f32=enc.attention_softmax_f32,
+        fused_ln=enc.fused_ln,
     )
     x = layers.layernorm(x, dec["norm"]["scale"], dec["norm"]["bias"],
-                         enc.ln_eps, fused=enc.use_pallas_attention)
+                         enc.ln_eps, fused=enc.fused_ln)
     x = layers.linear(x, dec["pred"])
     return x[:, 1:, :]  # drop cls
 

@@ -42,9 +42,21 @@ class ViTConfig:
     out_token: str = "cls"  # "cls" | "spatial" (mean of patch tokens)
     compute_dtype: Any = jnp.bfloat16
     use_pallas_attention: bool = False
+    # None → follow use_pallas_attention.  Separately togglable because the
+    # LN custom calls pin {2,1,0} layouts at 4 points per block: at large
+    # batches XLA prefers a batch-major residual-stream layout and the pins
+    # cost relayout copies (PERF_NOTES.md round 2).
+    fused_layernorm: Optional[bool] = None
     remat: bool = False
     unroll_blocks: bool = False
     attention_softmax_f32: bool = True
+
+    @property
+    def fused_ln(self) -> Optional[bool]:
+        """Tri-state: explicit bool, or None → batch-aware auto in run_blocks."""
+        if self.fused_layernorm is None:
+            return None if self.use_pallas_attention else False
+        return self.fused_layernorm
 
     @property
     def grid_size(self) -> int:
@@ -112,8 +124,10 @@ def vit_features(params: Params, images: jax.Array, cfg: ViTConfig = VIT_B16) ->
         remat=cfg.remat,
         unroll=cfg.unroll_blocks,
         softmax_f32=cfg.attention_softmax_f32,
+        fused_ln=cfg.fused_ln,
     )
-    return layers.layernorm(x, params["norm"]["scale"], params["norm"]["bias"], cfg.ln_eps)
+    return layers.layernorm(x, params["norm"]["scale"], params["norm"]["bias"],
+                            cfg.ln_eps, fused=cfg.fused_ln)
 
 
 def vit_tap_features(
