@@ -72,19 +72,27 @@ def cast_params_for_compute(params: Params, dtype) -> Params:
     if dtype == jnp.float32:
         return params
 
-    _KEEP_F32 = {"ln1", "ln2", "norm", "scale", "bias"}
-
     def leaf(path, p):
-        if any(
-            getattr(k, "key", None) in _KEEP_F32
-            for k in path
-        ):
-            return p  # layernorm affine params stay fp32 (consumed in fp32)
-        if hasattr(p, "dtype") and p.dtype == jnp.float32 and getattr(p, "ndim", 0) >= 2:
-            return p.astype(dtype)
-        return p
+        if keep_f32_leaf(path, p):
+            return p
+        return p.astype(dtype)
 
     return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+_KEEP_F32 = {"ln1", "ln2", "norm", "scale", "bias"}
+
+
+def keep_f32_leaf(path, p) -> bool:
+    """Whether :func:`cast_params_for_compute` leaves this leaf in fp32.
+
+    Layernorm affine params (consumed in fp32) and sub-2-D leaves stay fp32.
+    """
+    if any(getattr(k, "key", None) in _KEEP_F32 for k in path):
+        return True
+    return not (
+        hasattr(p, "dtype") and p.dtype == jnp.float32 and getattr(p, "ndim", 0) >= 2
+    )
 
 
 def layernorm(
@@ -132,16 +140,26 @@ def attention(
     num_heads: int,
     use_pallas: bool = False,
     softmax_f32: bool = True,
+    seq_len: Optional[int] = None,
 ) -> jax.Array:
     """Multi-head self-attention with fused QKV.
 
-    ``x``: (B, N, D).  QKV is one (D, 3D) matmul; scores/softmax run in fp32.
-    When ``use_pallas`` is set and the platform is TPU, the fused Pallas
-    kernel handles the (QK^T → softmax → V) stage.
+    ``x``: (B, N, D) — or the flattened (B·N, D) view with ``seq_len=N``
+    (used at large batches to keep the residual stream 2-D: XLA then has no
+    3-D layout freedom and the kernel's (B, N, 3D) view is a bitcast).
+    QKV is one (D, 3D) matmul; scores/softmax run in fp32.  When
+    ``use_pallas`` is set and the platform is TPU, the fused Pallas kernel
+    handles the (QK^T → softmax → V) stage.
     """
-    B, N, D = x.shape
+    if seq_len is not None:
+        R, D = x.shape
+        N = seq_len
+        B = R // N
+    else:
+        B, N, D = x.shape
     head_dim = D // num_heads
-    qkv = linear(x, p["qkv"])  # (B, N, 3D)
+    qkv = linear(x, p["qkv"])  # (B, N, 3D) or (B·N, 3D)
+    qkv = qkv.reshape(B, N, 3 * D)
 
     if use_pallas:
         # Single-kernel path: head split + softmax + AV stay in VMEM,
@@ -149,6 +167,8 @@ def attention(
         from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_attention
 
         out = fused_qkv_attention(qkv, num_heads, False, softmax_f32)
+        if seq_len is not None:
+            out = out.reshape(B * N, D)
         return linear(out, p["proj"])
 
     qkv = qkv.reshape(B, N, 3, num_heads, head_dim)
@@ -171,6 +191,8 @@ def attention(
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=x.dtype)
 
     out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
+    if seq_len is not None:
+        out = out.reshape(B * N, D)
     return linear(out, p["proj"])
 
 
@@ -206,6 +228,7 @@ def run_blocks(
     unroll: bool = False,
     softmax_f32: bool = True,
     fused_ln: Optional[bool] = None,
+    flatten_stream: bool = False,
 ) -> jax.Array:
     """Apply the stacked pre-norm blocks with ``lax.scan``.
 
@@ -225,12 +248,24 @@ def run_blocks(
     else:
         ln_fused = fused_ln
 
+    # Optional: run the residual stream FLATTENED as (B·N, D) — a 2-D
+    # stream leaves XLA no 3-D layout freedom, and the kernel's (B, N, 3D)
+    # view of a {1,0} 2-D array is a bitcast.  Measured NET-NEGATIVE at
+    # batch 256 on v5e (1522 vs 1649 img/s: the batch-major layout XLA
+    # picks helps its fusions more than the relayouts around the attention
+    # custom calls cost), so off by default; kept for future shapes.
+    batch, seq = x.shape[0], x.shape[1]
+    flatten = flatten_stream and use_pallas
+    if flatten:
+        x = x.reshape(batch * seq, x.shape[2])
+    seq_len = seq if flatten else None
+
     def body(h, layer):
         a = layernorm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], ln_eps,
                       fused=ln_fused)
         h = h + attention(
             a, layer["attn"], num_heads,
-            use_pallas=use_pallas, softmax_f32=softmax_f32,
+            use_pallas=use_pallas, softmax_f32=softmax_f32, seq_len=seq_len,
         )
         m = layernorm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], ln_eps,
                       fused=ln_fused)
@@ -245,8 +280,10 @@ def run_blocks(
         for i in range(depth):
             layer = jax.tree_util.tree_map(lambda a: a[i], blocks)
             x, _ = body(x, layer)
-        return x
-    x, _ = jax.lax.scan(body, x, blocks)
+    else:
+        x, _ = jax.lax.scan(body, x, blocks)
+    if flatten:
+        x = x.reshape(batch, seq, x.shape[-1])
     return x
 
 

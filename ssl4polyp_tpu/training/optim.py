@@ -33,6 +33,7 @@ __all__ = [
     "AdamWState",
     "adamw_init",
     "adamw_update",
+    "adamw_update_fused",
     "LARSState",
     "lars_init",
     "lars_update",
@@ -111,6 +112,96 @@ def adamw_update(
             step=step,
             mu=jax.tree_util.tree_unflatten(treedef, new_mu),
             nu=jax.tree_util.tree_unflatten(treedef, new_nu),
+        ),
+    )
+
+
+def adamw_update_fused(
+    params: Params,
+    grads: Params,
+    state: AdamWState,
+    *,
+    lr: jax.Array | float,
+    compute_dtype,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    lr_scale: Optional[Tree] = None,
+    wd_scale: Optional[Tree] = None,
+    interpret: bool = False,
+) -> tuple[Params, Params, AdamWState]:
+    """AdamW step that also emits the compute-dtype parameter copy.
+
+    Returns ``(params, params_c, state)``.  Identical math to
+    :func:`adamw_update`; on accelerators, leaves whose lr/wd scales are
+    plain floats run as one Pallas kernel each (single-pass p/g/mu/nu
+    streams + in-pass bf16 emission — XLA's per-leaf fusions measure ~35%
+    over the HBM floor).  Scale-array leaves (layer-decay trees) and CPU
+    runs use the XLA path.
+    """
+    from ssl4polyp_tpu.models.layers import keep_f32_leaf
+    from ssl4polyp_tpu.ops.adamw import adamw_leaf_pallas
+
+    step = state.step + 1
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - b1 ** t
+    bc2 = 1.0 - b2 ** t
+    use_pallas = interpret or jax.default_backend() != "cpu"
+
+    ones = jax.tree_util.tree_map(lambda _: 1.0, params)
+    ls_tree = lr_scale if lr_scale is not None else ones
+    ws_tree = wd_scale if wd_scale is not None else ones
+
+    flat_p, treedef = jax.tree_util.tree_flatten_with_path(params)
+    paths = [path for path, _ in flat_p]
+    flat_p = [leaf for _, leaf in flat_p]
+    plain = jax.tree_util.tree_structure(params)
+    flat_g = plain.flatten_up_to(grads)
+    flat_mu = plain.flatten_up_to(state.mu)
+    flat_nu = plain.flatten_up_to(state.nu)
+    flat_ls = plain.flatten_up_to(ls_tree)
+    flat_ws = plain.flatten_up_to(ws_tree)
+
+    def leaf_update(p, g, mu, nu, ls, ws):
+        g32 = g.astype(jnp.float32)
+        p32 = p.astype(jnp.float32)
+        mu = b1 * mu + (1.0 - b1) * g32
+        nu = b2 * nu + (1.0 - b2) * jnp.square(g32)
+        m_hat = mu / bc1
+        n_hat = nu / bc2
+        step_dir = m_hat / (jnp.sqrt(n_hat) + eps) + weight_decay * ws * p32
+        new_p = p32 - lr * ls * step_dir
+        return new_p.astype(p.dtype), mu, nu
+
+    new_p, new_pc, new_mu, new_nu = [], [], [], []
+    for path, p, g, mu, nu, ls, ws in zip(
+        paths, flat_p, flat_g, flat_mu, flat_nu, flat_ls, flat_ws
+    ):
+        keep = keep_f32_leaf(path, p) or compute_dtype == jnp.float32
+        pc_dtype = p.dtype if keep else compute_dtype
+        if use_pallas and isinstance(ls, (int, float)) and isinstance(ws, (int, float)):
+            np_, nmu, nnu, npc = adamw_leaf_pallas(
+                p, g, mu, nu, lr, bc1, bc2,
+                b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+                ls=float(ls), ws=float(ws), compute_dtype=pc_dtype,
+                interpret=interpret,
+            )
+        else:
+            np_, nmu, nnu = leaf_update(p, g, mu, nu, ls, ws)
+            npc = np_ if keep else np_.astype(pc_dtype)
+        new_p.append(np_)
+        new_pc.append(npc)
+        new_mu.append(nmu)
+        new_nu.append(nnu)
+
+    return (
+        plain.unflatten(new_p),
+        plain.unflatten(new_pc),
+        AdamWState(
+            step=step,
+            mu=plain.unflatten(new_mu),
+            nu=plain.unflatten(new_nu),
         ),
     )
 

@@ -148,3 +148,56 @@ def test_early_stopper_patience_zero_disables():
         assert not stopper.update(epoch, metric)
     assert stopper.best == 0.9
     assert stopper.best_epoch == 1
+
+
+def test_adamw_update_fused_matches_reference():
+    # The fused (Pallas, interpret-mode) update must reproduce adamw_update
+    # exactly, and its emitted compute copy must match
+    # cast_params_for_compute of the updated tree.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.models.layers import cast_params_for_compute
+    from ssl4polyp_tpu.training import optim
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "w": jax.random.normal(jax.random.fold_in(key, 0), (24, 256)),
+        "bias": jax.random.normal(jax.random.fold_in(key, 1), (256,)),
+        "ln1": {"scale": jnp.ones((256,)), "bias": jnp.zeros((256,))},
+    }
+    grads = jax.tree_util.tree_map(
+        lambda p: 0.01 * jax.random.normal(jax.random.fold_in(key, p.size), p.shape),
+        params,
+    )
+    wd = optim.no_weight_decay_scales(params)
+    state = optim.adamw_init(params)
+    # advance one step so bias corrections are non-trivial
+    for variant in range(2):
+        ref_p, ref_state = optim.adamw_update(
+            params, grads, state, lr=1e-3, b1=0.9, b2=0.95,
+            weight_decay=0.05, wd_scale=wd,
+        )
+        got_p, got_pc, got_state = optim.adamw_update_fused(
+            params, grads, state, lr=1e-3, b1=0.9, b2=0.95,
+            weight_decay=0.05, wd_scale=wd,
+            compute_dtype=jnp.bfloat16, interpret=True,
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(ref_p),
+                        jax.tree_util.tree_leaves(got_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+        ref_pc = cast_params_for_compute(ref_p, jnp.bfloat16)
+        for a, b in zip(jax.tree_util.tree_leaves(ref_pc),
+                        jax.tree_util.tree_leaves(got_pc)):
+            assert a.dtype == b.dtype
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-6, atol=1e-6,
+            )
+        for a, b in zip(jax.tree_util.tree_leaves(ref_state.mu),
+                        jax.tree_util.tree_leaves(got_state.mu)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+        params, state = ref_p, ref_state

@@ -52,3 +52,22 @@ def test_via_layers_attention():
     out = layers.attention(x, p, num_heads=4)
     assert out.shape == (2, 9, 32)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_flattened_stream_matches_3d():
+    # attention(seq_len=N) over the flattened (B*N, D) residual stream must
+    # equal the 3-D path (used at large batches to keep the stream 2-D).
+    from ssl4polyp_tpu.models import layers
+
+    key = jax.random.PRNGKey(4)
+    D, H, B, N = 32, 4, 3, 7
+    p = {
+        "qkv": layers.init_linear(jax.random.fold_in(key, 0), D, 3 * D),
+        "proj": layers.init_linear(jax.random.fold_in(key, 1), D, D),
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 2), (B, N, D))
+    ref = layers.attention(x, p, num_heads=H)
+    flat = layers.attention(x.reshape(B * N, D), p, num_heads=H, seq_len=N)
+    np.testing.assert_allclose(
+        np.asarray(flat), np.asarray(ref.reshape(B * N, D)), rtol=1e-5, atol=1e-5
+    )
