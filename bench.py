@@ -17,7 +17,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# Persistent XLA compile cache: TPU compiles via the remote-compile relay
+# take 10+ minutes for the fused multi-step executable; with the cache the
+# bench re-runs in under a minute.  Must be set before jax initialises.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jaxcache"),
+)
 
 BASELINE_IMAGES_PER_SEC = 1650.0  # 2x A100 estimate (north-star target)
 

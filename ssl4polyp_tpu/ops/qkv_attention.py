@@ -147,7 +147,7 @@ def _specs(rows, n, width, count):
 
 def _rows_per_program(
     B: int, n: int, num_heads: int, io_width: int, score_copies: float,
-    itemsize: int,
+    itemsize: int, budget_mb: int = 10,
 ) -> int:
     """Pick G so each program's VMEM working set stays under budget.
 
@@ -162,7 +162,7 @@ def _rows_per_program(
             continue
         io_bytes = 2 * g * n * io_width * itemsize
         score_bytes = int(score_copies * num_heads * g * n * n * 4)
-        if io_bytes + score_bytes < 10 * 1024 * 1024:
+        if io_bytes + score_bytes < budget_mb * 1024 * 1024:
             return g
     return 1
 
@@ -175,7 +175,12 @@ def _forward_impl(qkv, num_heads, interpret, softmax_f32):
     D = threeD // 3
     head_dim = D // num_heads
     scale = 1.0 / math.sqrt(head_dim)
-    rows = _rows_per_program(B, N, num_heads, threeD + D, 1.5, qkv.dtype.itemsize)
+    # Forward gets a slightly larger budget: at (B≥256, N=197, H=16) it
+    # buys G=2 (half the programs); the backward's dw/ds temporaries leave
+    # no such headroom.
+    rows = _rows_per_program(
+        B, N, num_heads, threeD + D, 1.5, qkv.dtype.itemsize, budget_mb=11
+    )
     kernel = functools.partial(
         _fwd_kernel, n_valid=N, num_heads=num_heads,
         head_dim=head_dim, scale=scale, f32=softmax_f32,
