@@ -201,3 +201,37 @@ def test_adamw_update_fused_matches_reference():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-6)
         params, state = ref_p, ref_state
+
+
+def test_adamw_update_fused_array_scales_fall_back():
+    # Layer-decay style scale ARRAYS are not Pallas-eligible; the fused
+    # entry point must fall back to the XLA leaf path and still match
+    # adamw_update exactly.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.training import optim
+
+    key = jax.random.PRNGKey(2)
+    params = {"blocks": {"w": jax.random.normal(key, (4, 16, 32))}}
+    grads = {"blocks": {"w": 0.01 * jax.random.normal(jax.random.fold_in(key, 1), (4, 16, 32))}}
+    lr_scale = {"blocks": {"w": jnp.asarray([1.0, 0.5, 0.25, 0.125]).reshape(4, 1, 1)}}
+    state = optim.adamw_init(params)
+
+    ref_p, ref_state = optim.adamw_update(
+        params, grads, state, lr=1e-3, weight_decay=0.05, lr_scale=lr_scale,
+    )
+    got_p, got_pc, got_state = optim.adamw_update_fused(
+        params, grads, state, lr=1e-3, weight_decay=0.05, lr_scale=lr_scale,
+        compute_dtype=jnp.bfloat16, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_p["blocks"]["w"]), np.asarray(got_p["blocks"]["w"]),
+        rtol=1e-6, atol=1e-6,
+    )
+    assert got_pc["blocks"]["w"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(ref_state.nu["blocks"]["w"]),
+        np.asarray(got_state.nu["blocks"]["w"]), rtol=1e-6, atol=1e-6,
+    )
