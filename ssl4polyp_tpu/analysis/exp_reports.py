@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -44,34 +44,243 @@ def _fewshot_condition(run: CommonRun) -> Optional[str]:
 # Extra sections
 # ---------------------------------------------------------------------------
 
-def _morphology_section(run_set: RunSet) -> List[str]:
-    """exp3: per-stratum (flat/polypoid) metric table averaged over seeds."""
-    lines = ["## Morphology strata", ""]
-    header_written = False
+# -- exp3: multi-policy morphology strata (frame-recomputed) ----------------
+#
+# Reference depth (``exp3_report.py:115-216,383-515,696-760``): each stratum
+# (overall / flat+negs / polypoid+negs, negatives shared) is evaluated under
+# EVERY threshold policy the runs carry, recomputed from the exported
+# outputs-CSV frames at that policy's τ, with paired case-cluster bootstrap
+# CIs on the model deltas and within-model flat−polypoid contrasts.
+
+EXP3_STRATA = ("overall", "flat_plus_negs", "polypoid_plus_negs")
+EXP3_METRICS = ("auroc", "f1", "recall", "precision", "balanced_accuracy")
+_KNOWN_POLICIES = ("f1_opt_on_val", "youden_on_val", "val_opt_youden", "sun_val_frozen")
+
+
+def run_policy_taus(run: CommonRun) -> Dict[str, float]:
+    """Every threshold policy the run declares, mapped to its τ (reference
+    ``exp3_report.py:295-343`` gathers primary + sensitivity + the
+    ``thresholds.values`` map, matching known policy names by suffix)."""
+    block = run.payload.get("thresholds") or {}
+    taus: Dict[str, float] = {}
+
+    def register(policy, tau) -> None:
+        if not isinstance(policy, str):
+            return
+        name = policy.strip().lower()
+        if name and isinstance(tau, (int, float)) and math.isfinite(float(tau)):
+            taus.setdefault(name, float(tau))
+
+    for key in ("primary", "sensitivity"):
+        record = block.get(key)
+        if isinstance(record, dict):
+            register(record.get("policy"), record.get("tau"))
+    values = block.get("values")
+    if isinstance(values, dict):
+        for key, tau in values.items():
+            text = str(key).strip().lower()
+            for candidate in _KNOWN_POLICIES:
+                if text.endswith(candidate):
+                    register(candidate, tau)
+                    break
+    return taus
+
+
+def strata_masks(run: CommonRun) -> Dict[str, np.ndarray]:
+    """Boolean frame masks per stratum; negatives belong to every stratum
+    (reference ``compute_strata_metrics``, ``exp3_report.py:198-214``)."""
+    labels = np.asarray([f.label for f in run.frames], dtype=int)
+    morph = np.asarray(
+        [str(f.morphology or "unknown").strip().lower() for f in run.frames]
+    )
+    neg = labels == 0
+    pos = labels == 1
+    return {
+        "overall": np.ones(labels.size, dtype=bool),
+        "flat_plus_negs": neg | (pos & (morph == "flat")),
+        "polypoid_plus_negs": neg | (pos & (morph == "polypoid")),
+    }
+
+
+class _Exp3Run:
+    """One run's frames pre-indexed for strata × policy recomputation."""
+
+    def __init__(self, run: CommonRun):
+        if not run.frames:
+            raise ValueError(f"exp3 strata need outputs-CSV frames: {run.metrics_path}")
+        self.probs = np.asarray([f.prob for f in run.frames], dtype=float)
+        self.labels = np.asarray([f.label for f in run.frames], dtype=int)
+        self.masks = strata_masks(run)
+        self.taus = run_policy_taus(run)
+        cases: Dict[str, List[int]] = {}
+        for i, frame in enumerate(run.frames):
+            cid = str(frame.case_id or frame.sequence_id or frame.frame_id)
+            cases.setdefault(cid, []).append(i)
+        self.cases = {cid: np.asarray(ix, dtype=int) for cid, ix in sorted(cases.items())}
+
+    def metric(self, metric: str, stratum: str, policy: str,
+               idx: Optional[np.ndarray] = None) -> float:
+        from .frame_bootstrap import metric_from_frames
+
+        tau = self.taus[policy]
+        if idx is None:
+            sel = self.masks[stratum]
+            return metric_from_frames(metric, self.probs[sel], self.labels[sel], tau)
+        sel = idx[self.masks[stratum][idx]]
+        if sel.size == 0:
+            return float("nan")
+        return metric_from_frames(metric, self.probs[sel], self.labels[sel], tau)
+
+    def resample(self, rng: np.random.Generator,
+                 case_ids: Optional[Sequence[str]] = None) -> np.ndarray:
+        ids = list(case_ids) if case_ids is not None else list(self.cases)
+        draw = rng.integers(0, len(ids), size=len(ids))
+        return np.concatenate([self.cases[ids[int(d)]] for d in draw])
+
+
+def _quantile_ci(samples: Sequence[float]) -> tuple:
+    arr = np.asarray([s for s in samples if math.isfinite(s)])
+    if arr.size == 0:
+        return float("nan"), float("nan")
+    return float(np.quantile(arr, 0.025)), float(np.quantile(arr, 0.975))
+
+
+def _strata_policy_section(run_set: RunSet) -> List[str]:
+    """exp3: strata × policy tables recomputed from frames, with pairwise
+    model deltas and flat−polypoid contrasts under paired case bootstrap."""
+    from .seed_checks import SeedCheckError  # noqa: F401 (documentation import)
+
+    prepared: Dict[str, Dict[int, _Exp3Run]] = {}
     for condition in run_set.conditions():
-        strata_acc: Dict[str, Dict[str, List[float]]] = {}
-        for run in run_set.runs[condition].values():
-            morphology = run.payload.get("test_morphology") or {}
-            for stratum, block in morphology.items():
-                for metric in ("recall", "f1", "auroc", "balanced_accuracy"):
-                    value = block.get(metric)
-                    if isinstance(value, (int, float)) and math.isfinite(float(value)):
-                        strata_acc.setdefault(stratum, {}).setdefault(metric, []).append(float(value))
-        if not strata_acc:
-            continue
-        if not header_written:
-            lines.append("| condition | stratum | recall | f1 | auroc | balanced_accuracy |")
-            lines.append("|---|---|---|---|---|---|")
-            header_written = True
-        for stratum in sorted(strata_acc):
-            cells = [
-                format_value(float(np.mean(strata_acc[stratum][m])))
-                if m in strata_acc[stratum] else "—"
-                for m in ("recall", "f1", "auroc", "balanced_accuracy")
-            ]
-            lines.append(f"| {condition} | {stratum} | " + " | ".join(cells) + " |")
+        for seed, run in run_set.runs[condition].items():
+            if run.frames:
+                prepared.setdefault(condition, {})[seed] = _Exp3Run(run)
+    if not prepared:
+        return []
+
+    # Only policies every run carries are comparable across the board.
+    policies: Optional[set] = None
+    for per_seed in prepared.values():
+        for erun in per_seed.values():
+            policies = set(erun.taus) if policies is None else policies & set(erun.taus)
+    policy_order = [p for p in _KNOWN_POLICIES if policies and p in policies]
+    if not policy_order:
+        return []
+
+    n_resamples = run_set.n_resamples
+    lines: List[str] = ["## Morphology strata × threshold policy (frame-recomputed)", ""]
+    lines.append("| policy | condition | stratum | " + " | ".join(EXP3_METRICS) + " |")
+    lines.append("|" + "---|" * (len(EXP3_METRICS) + 3))
+    for policy in policy_order:
+        for condition in sorted(prepared):
+            per_seed = prepared[condition]
+            for stratum in EXP3_STRATA:
+                cells = []
+                for metric in EXP3_METRICS:
+                    vals = [
+                        per_seed[s].metric(metric, stratum, policy)
+                        for s in sorted(per_seed)
+                    ]
+                    finite = [v for v in vals if math.isfinite(v)]
+                    if not finite:
+                        cells.append("—")
+                        continue
+                    mean = float(np.mean(finite))
+                    std = float(np.std(finite, ddof=1)) if len(finite) > 1 else 0.0
+                    cells.append(f"{format_value(mean)} ± {format_value(std)}")
+                lines.append(f"| {policy} | {condition} | {stratum} | " + " | ".join(cells) + " |")
     lines.append("")
-    return lines if header_written else []
+
+    # Pairwise model deltas per policy × stratum (paired case bootstrap:
+    # the same sampled case ids drive both runs of a pair each replicate).
+    rng_root = np.random.default_rng(1337)
+    delta_lines: List[str] = []
+    for baseline, contender in run_set.config.comparisons:
+        if baseline not in prepared or contender not in prepared:
+            continue
+        base_runs, cont_runs = prepared[baseline], prepared[contender]
+        seeds = sorted(set(base_runs) & set(cont_runs))
+        if not seeds:
+            continue
+        shared_cases = {
+            s: sorted(set(base_runs[s].cases) & set(cont_runs[s].cases)) for s in seeds
+        }
+        for policy in policy_order:
+            for stratum in EXP3_STRATA:
+                for metric in ("auroc", "f1"):
+                    points = [
+                        cont_runs[s].metric(metric, stratum, policy)
+                        - base_runs[s].metric(metric, stratum, policy)
+                        for s in seeds
+                    ]
+                    point = float(np.nanmean(points))
+                    draws: List[float] = []
+                    for _ in range(n_resamples):
+                        vals = []
+                        for s in seeds:
+                            ids = shared_cases[s]
+                            if not ids:
+                                continue
+                            idx_b = base_runs[s].resample(rng_root, ids)
+                            idx_c = cont_runs[s].resample(rng_root, ids)
+                            # identical frame sets ⇒ reuse the baseline draw
+                            if base_runs[s].cases.keys() == cont_runs[s].cases.keys():
+                                idx_c = idx_b
+                            vals.append(
+                                cont_runs[s].metric(metric, stratum, policy, idx_c)
+                                - base_runs[s].metric(metric, stratum, policy, idx_b)
+                            )
+                        if vals:
+                            draws.append(float(np.nanmean(vals)))
+                    lo, hi = _quantile_ci(draws)
+                    delta_lines.append(
+                        f"| {baseline} | {contender} | {policy} | {stratum} | {metric} | "
+                        f"{format_delta(point)} | [{format_value(lo)}, {format_value(hi)}] |"
+                    )
+    if delta_lines:
+        lines.append("### Pairwise deltas by policy and stratum (paired case bootstrap, 95% CI)")
+        lines.append("")
+        lines.append("| baseline | contender | policy | stratum | metric | Δ | 95% CI |")
+        lines.append("|---|---|---|---|---|---|---|")
+        lines.extend(delta_lines)
+        lines.append("")
+
+    # Within-model flat − polypoid contrast (same case resample, two strata).
+    contrast_lines: List[str] = []
+    for condition in sorted(prepared):
+        per_seed = prepared[condition]
+        seeds = sorted(per_seed)
+        for policy in policy_order:
+            for metric in ("auroc", "f1"):
+                points = [
+                    per_seed[s].metric(metric, "flat_plus_negs", policy)
+                    - per_seed[s].metric(metric, "polypoid_plus_negs", policy)
+                    for s in seeds
+                ]
+                point = float(np.nanmean(points))
+                draws = []
+                for _ in range(n_resamples):
+                    vals = []
+                    for s in seeds:
+                        idx = per_seed[s].resample(rng_root)
+                        vals.append(
+                            per_seed[s].metric(metric, "flat_plus_negs", policy, idx)
+                            - per_seed[s].metric(metric, "polypoid_plus_negs", policy, idx)
+                        )
+                    draws.append(float(np.nanmean(vals)))
+                lo, hi = _quantile_ci(draws)
+                contrast_lines.append(
+                    f"| {condition} | {policy} | {metric} | {format_delta(point)} | "
+                    f"[{format_value(lo)}, {format_value(hi)}] |"
+                )
+    if contrast_lines:
+        lines.append("### Flat − polypoid contrast (paired case bootstrap, 95% CI)")
+        lines.append("")
+        lines.append("| condition | policy | metric | Δ(flat−polypoid) | 95% CI |")
+        lines.append("|---|---|---|---|---|")
+        lines.extend(contrast_lines)
+        lines.append("")
+    return lines
 
 
 def _curve_data_from_conditions(
@@ -373,18 +582,26 @@ def build_report_config(exp: str) -> ReportConfig:
             title="Exp1 — SUP-imnet vs SSL-imnet on SUN-full",
             comparisons=(("SupImnet", "SslImnet"), ("sup_imnet", "ssl_imnet")),
             required_curve_keys=("test",),
+            # exp1's guardrails demand the ROC/PR grids with verified digests
+            # (reference ``exp1_report.py:230-263``)
+            enforce_curve_exports=True,
         )
     if exp == "exp2":
         return ReportConfig(
             exp_id="exp2",
             title="Exp2 — SSL-colon vs SSL-imnet on SUN-full",
             comparisons=(("SslImnet", "SslColon"), ("ssl_imnet", "ssl_colon")),
+            include_t_ci=True,
         )
     if exp in {"exp3", "exp3b"}:
         return ReportConfig(
             exp_id="exp3b",
             title="Exp3 — morphology-stratified evaluation",
-            extra_sections=(_morphology_section,),
+            comparisons=(
+                ("SupImnet", "SslColon"), ("SslImnet", "SslColon"),
+                ("sup_imnet", "ssl_colon"), ("ssl_imnet", "ssl_colon"),
+            ),
+            extra_sections=(_strata_policy_section,),
         )
     if exp == "exp4":
         return ReportConfig(
@@ -394,9 +611,17 @@ def build_report_config(exp: str) -> ReportConfig:
             extra_sections=(_learning_curve_section,),
         )
     if exp == "exp5a":
+        from .exp5a_domain_shift import domain_shift_section
+
         return ReportConfig(
             exp_id="exp5a",
             title="Exp5a — zero-shot PolypGen transfer",
+            # Pairwise CIs come from the centre-clustered bootstrap inside
+            # the domain-shift section, not the core's case-clustered one
+            # (PolypGen has no case ids — reference exp5a warns and uses
+            # centre clusters only, ``exp5a_report.py:809-864``), so
+            # ``comparisons`` stays empty here.
+            artifact_sections=(domain_shift_section,),
         )
     if exp == "exp5b":
         return ReportConfig(

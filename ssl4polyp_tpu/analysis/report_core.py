@@ -27,6 +27,8 @@ __all__ = [
     "ReportConfig",
     "RunSet",
     "discover_runs",
+    "composition_of",
+    "validate_composition",
     "aggregate_conditions",
     "paired_deltas",
     "render_markdown_tables",
@@ -48,9 +50,16 @@ class ReportConfig:
     enforce_curve_exports: bool = False
     comparisons: Sequence[Tuple[str, str]] = ()  # (baseline, contender) model pairs
     strict: bool = True
+    check_composition: bool = True
+    # also render Student-t CIs over the per-seed deltas next to the
+    # bootstrap CIs (reference exp2 table format, ``exp2_report.py:250-324``)
+    include_t_ci: bool = False
     # condition = how runs are grouped beyond model (e.g. subset percent)
     condition_fn: Optional[Callable[[CommonRun], Optional[str]]] = None
     extra_sections: Sequence[Callable[["RunSet"], List[str]]] = ()
+    # artifact sections additionally receive the report output dir and may
+    # write CSVs there (exp5a performance/domain_shift/composition exports)
+    artifact_sections: Sequence[Callable[["RunSet", Path], List[str]]] = ()
 
 
 @dataclass
@@ -118,6 +127,8 @@ def discover_runs(
         if condition is None:
             raise GuardrailViolation(f"Cannot derive a condition for {path}")
         run_set.add(condition, run)
+    if validate and config.check_composition:
+        validate_composition(run_set)
     return run_set
 
 
@@ -126,6 +137,71 @@ def check_seeds(run_set: RunSet) -> None:
         {cond: seeds for cond, seeds in run_set.runs.items()},
         run_set.config.expected_seeds,
     )
+
+
+# ---------------------------------------------------------------------------
+# Composition validation
+# ---------------------------------------------------------------------------
+
+def composition_of(run: CommonRun) -> Optional[Dict[str, float]]:
+    """Test-set composition (n_pos, n_neg, prevalence) for one run.
+
+    Recomputed from the exported frames when available and cross-checked
+    against the declared ``test_primary`` counts; runs without frames fall
+    back to the declared block.  Returns ``None`` when neither source
+    provides counts.
+    """
+    declared = run.payload.get("test_primary") or {}
+    declared_pos = declared.get("n_pos")
+    declared_neg = declared.get("n_neg")
+    if run.frames:
+        labels = np.asarray([f.label for f in run.frames], dtype=int)
+        n_pos = int((labels == 1).sum())
+        n_neg = int((labels == 0).sum())
+        for name, stated, actual in (("n_pos", declared_pos, n_pos), ("n_neg", declared_neg, n_neg)):
+            if isinstance(stated, (int, float)) and int(stated) != actual:
+                raise GuardrailViolation(
+                    f"{run.metrics_path}: test_primary.{name}={int(stated)} disagrees "
+                    f"with the outputs CSV composition {actual}"
+                )
+    elif isinstance(declared_pos, (int, float)) and isinstance(declared_neg, (int, float)):
+        n_pos, n_neg = int(declared_pos), int(declared_neg)
+    else:
+        return None
+    total = n_pos + n_neg
+    return {
+        "n_pos": n_pos,
+        "n_neg": n_neg,
+        "total": total,
+        "prevalence": n_pos / total if total else float("nan"),
+    }
+
+
+def validate_composition(run_set: RunSet) -> Optional[Dict[str, float]]:
+    """Assert every run in the comparison was evaluated on an identically
+    composed test set (reference ``exp1_report.py:392-410``,
+    ``exp5a_report.py:343-412``); silently averaging runs evaluated on
+    different packs would corrupt every delta table downstream."""
+    reference: Optional[Dict[str, float]] = None
+    reference_run: Optional[CommonRun] = None
+    for condition in run_set.conditions():
+        for _seed, run in sorted(run_set.runs[condition].items()):
+            comp = composition_of(run)
+            if comp is None:
+                continue
+            if reference is None:
+                reference, reference_run = comp, run
+            elif (
+                comp["n_pos"] != reference["n_pos"]
+                or comp["n_neg"] != reference["n_neg"]
+            ):
+                raise GuardrailViolation(
+                    "Test-set composition mismatch across compared runs: "
+                    f"{reference_run.metrics_path} has n_pos={reference['n_pos']} "
+                    f"n_neg={reference['n_neg']} but {run.metrics_path} has "
+                    f"n_pos={comp['n_pos']} n_neg={comp['n_neg']}"
+                )
+    return reference
 
 
 # ---------------------------------------------------------------------------
@@ -242,6 +318,25 @@ def paired_deltas(
     return results
 
 
+def t_confidence_interval(
+    values: Sequence[float], *, level: float = 0.95
+) -> Optional[Tuple[float, float]]:
+    """Two-sided Student-t CI for the mean of ``values`` (reference
+    ``exp2_report.py:272-295``).  Needs ≥2 finite values."""
+    finite = [float(v) for v in values if math.isfinite(float(v))]
+    if len(finite) < 2:
+        return None
+    arr = np.asarray(finite, dtype=float)
+    mean = float(arr.mean())
+    std = float(arr.std(ddof=1))
+    if std <= 0.0:
+        return mean, mean
+    from scipy.stats import t as student_t
+
+    margin = float(student_t.ppf(0.5 + level / 2.0, arr.size - 1)) * std / math.sqrt(arr.size)
+    return mean - margin, mean + margin
+
+
 # ---------------------------------------------------------------------------
 # Rendering
 # ---------------------------------------------------------------------------
@@ -276,15 +371,24 @@ def render_markdown_tables(
     if deltas:
         lines.append("## Paired deltas (true-metric cluster bootstrap, 95% CI)")
         lines.append("")
-        lines.append("| baseline | contender | metric | Δ | 95% CI |")
-        lines.append("|---|---|---|---|---|")
+        t_col = " t 95% CI |" if config.include_t_ci else ""
+        lines.append("| baseline | contender | metric | Δ | 95% CI |" + t_col)
+        lines.append("|---|---|---|---|---|" + ("---|" if t_col else ""))
         for (baseline, contender), info in deltas.items():
             for metric, delta in info["metrics"].items():
-                lines.append(
+                row = (
                     f"| {baseline} | {contender} | {metric} | "
                     f"{format_delta(delta['mean'])} | "
                     f"[{format_value(delta['ci_lower'])}, {format_value(delta['ci_upper'])}] |"
                 )
+                if config.include_t_ci:
+                    interval = t_confidence_interval(list((delta.get("per_seed") or {}).values()))
+                    cell = (
+                        f"[{format_value(interval[0])}, {format_value(interval[1])}]"
+                        if interval else "—"
+                    )
+                    row += f" {cell} |"
+                lines.append(row)
         lines.append("")
 
     for section in config.extra_sections:
@@ -333,6 +437,12 @@ def generate_report(
     deltas = paired_deltas(run_set, metrics=delta_metrics, n_resamples=n_resamples)
 
     markdown = render_markdown_tables(run_set, aggregates, deltas)
+    if config.artifact_sections:
+        artifact_lines: List[str] = []
+        for section in config.artifact_sections:
+            artifact_lines.extend(section(run_set, output_dir))
+        if artifact_lines:
+            markdown = markdown + "\n".join(artifact_lines) + "\n"
     md_path = output_dir / f"{config.exp_id}_report.md"
     md_path.write_text(markdown, encoding="utf-8")
     csv_path = write_metric_csv(

@@ -35,12 +35,17 @@ def synth_run(
     morphology=False,
     zero_shot=False,
     skill=2.0,
+    centers=None,
+    parent=None,
 ):
     """Write a guardrail-valid metrics.json + outputs CSV pair."""
     directory.mkdir(parents=True, exist_ok=True)
     stem = f"{model}_SUNFull_s{seed}"
     rng = np.random.default_rng(seed * 7 + int(auroc * 100))
-    labels = rng.integers(0, 2, n_frames)
+    # The test-set composition is a property of the pack, not the run: labels
+    # come from a fixed rng so every synthetic run shares one composition
+    # (report_core.validate_composition hard-fails otherwise).
+    labels = np.random.default_rng(2024).integers(0, 2, n_frames)
     probs = np.clip(rng.normal(0.5 + (labels - 0.5) * skill * 0.3, 0.18), 0.001, 0.999)
     tau = 0.5
     preds = (probs >= tau).astype(int)
@@ -53,15 +58,17 @@ def synth_run(
         ])
         writer.writeheader()
         for i in range(n_frames):
+            center = centers[i % len(centers)] if centers else ""
             writer.writerow({
                 "frame_id": f"f{i}",
                 "prob": float(probs[i]),
                 "label": int(labels[i]),
                 "pred": int(preds[i]),
-                "case_id": f"case{i % 6}",
-                "origin": "sun",
-                "center_id": "",
-                "sequence_id": f"case{i % 6}",
+                # PolypGen-style runs have centre ids but no case ids
+                "case_id": "" if centers else f"case{i % 6}",
+                "origin": "polypgen" if centers else "sun",
+                "center_id": center,
+                "sequence_id": "" if centers else f"case{i % 6}",
                 "morphology": "flat" if i % 3 == 0 else "polypoid",
             })
 
@@ -107,6 +114,17 @@ def synth_run(
             "test_outputs_csv": outputs_path.name,
             "test_outputs_csv_sha256": compute_file_sha256(outputs_path),
             **({"fewshot_budget": fewshot_budget} if fewshot_budget else {}),
+            **(
+                {
+                    "parent_run": {
+                        "checkpoint": "checkpoints/sun_parent.ckpt",
+                        "checkpoint_sha256": "d" * 64,
+                        "metrics": {"path": parent},
+                    }
+                }
+                if parent
+                else {}
+            ),
         },
         "data": {
             "train": {"path": "sun_full/train", "sha256": "a" * 64},
@@ -119,6 +137,17 @@ def synth_run(
     }
     if exp == "exp1" or exp == "exp2" or exp == "exp4":
         payload["test_sensitivity"] = dict(block)
+    if exp == "exp1":
+        # exp1 guardrails require verified ROC/PR curve exports
+        from ssl4polyp_tpu.evaluation.exports import export_curve_sets
+
+        curve_meta = export_curve_sets(
+            directory / stem, "test",
+            probabilities=probs, targets=labels, grid_points=20,
+        )
+        payload["curve_exports"] = {
+            "test": {"path": curve_meta["path"], "sha256": curve_meta["sha256"]}
+        }
     if exp == "exp5c":
         payload["test_sensitivity"] = dict(block)
     if morphology:
@@ -412,10 +441,101 @@ def test_report_audit_rejects_tampered_primary(tmp_path):
     synth_run(tmp_path / "SupImnet" / "s13", model="SupImnet", seed=13)
     path = next((tmp_path / "SupImnet" / "s13").glob("*.metrics.json"))
     doctored = json.loads(path.read_text())
-    doctored["test_primary"]["auroc"] = min(1.0, doctored["test_primary"]["auroc"] + 0.05)
+    doctored["test_primary"]["auroc"] = max(0.0, doctored["test_primary"]["auroc"] - 0.05)
     path.write_text(json.dumps(doctored))
     with pytest.raises(GV, match="disagrees"):
         run_report("exp1", tmp_path, tmp_path / "r", check_seed_protocol=False, n_resamples=10)
+
+
+def test_composition_mismatch_rejected(tmp_path):
+    """Two runs evaluated on differently composed test sets cannot be
+    compared (reference ``exp1_report.py:392-410``, ``exp5a_report.py:343-412``)."""
+    from ssl4polyp_tpu.analysis.guardrails import GuardrailViolation as GV
+
+    synth_run(tmp_path / "a", model="SupImnet", seed=13)
+    synth_run(tmp_path / "b", model="SslImnet", seed=13)
+    # flip one label in run b's outputs CSV (and keep its declared block and
+    # sha consistent so only the composition check can fire)
+    path_b = next((tmp_path / "b").glob("*.metrics.json"))
+    csv_path = next((tmp_path / "b").glob("*_test_outputs.csv"))
+    rows = csv_path.read_text().splitlines()
+    header = rows[0].split(",")
+    li, pi, ci = header.index("label"), header.index("prob"), header.index("pred")
+    cells = rows[1].split(",")
+    cells[li] = "1" if cells[li] == "0" else "0"
+    rows[1] = ",".join(cells)
+    csv_path.write_text("\n".join(rows) + "\n")
+    payload = json.loads(path_b.read_text())
+    frames = [r.split(",") for r in rows[1:]]
+    probs = np.asarray([float(r[pi]) for r in frames])
+    labels = np.asarray([int(r[li]) for r in frames])
+    payload["test_primary"] = compute_binary_metrics(probs, labels, 0.5)
+    payload["provenance"]["test_outputs_csv_sha256"] = compute_file_sha256(csv_path)
+    path_b.write_text(json.dumps(payload))
+
+    with pytest.raises(GV, match="composition mismatch"):
+        run_report("exp1", tmp_path, tmp_path / "r", check_seed_protocol=False, n_resamples=10)
+
+
+def test_composition_declared_vs_frames(tmp_path):
+    """A declared n_pos that disagrees with the frames is itself a violation."""
+    from ssl4polyp_tpu.analysis.guardrails import GuardrailViolation as GV
+    from ssl4polyp_tpu.analysis.common import load_common_run as load_run
+    from ssl4polyp_tpu.analysis.report_core import composition_of
+
+    synth_run(tmp_path)
+    path = next(tmp_path.glob("*.metrics.json"))
+    run = load_run(path)
+    comp = composition_of(run)
+    assert comp["n_pos"] + comp["n_neg"] == comp["total"] == 60
+    run.payload["test_primary"]["n_pos"] = comp["n_pos"] + 1
+    with pytest.raises(GV, match="composition"):
+        composition_of(run)
+
+
+def test_exp1_requires_curve_exports(tmp_path):
+    """exp1 hard-fails on a run missing its ROC/PR exports (reference
+    ``exp1_report.py:230-263``)."""
+    from ssl4polyp_tpu.analysis.guardrails import GuardrailViolation as GV
+
+    synth_run(tmp_path / "SupImnet", model="SupImnet", seed=13)
+    path = next((tmp_path / "SupImnet").glob("*.metrics.json"))
+    payload = json.loads(path.read_text())
+    del payload["curve_exports"]
+    path.write_text(json.dumps(payload))
+    with pytest.raises(GV, match="curve_exports"):
+        run_report("exp1", tmp_path, tmp_path / "r", check_seed_protocol=False, n_resamples=10)
+
+
+def test_exp2_t_interval_ci(tmp_path):
+    runs = tmp_path / "runs"
+    for model, auroc, skill in (("SslImnet", 0.85, 1.2), ("SslColon", 0.91, 2.0)):
+        for seed in (13, 29, 47):
+            synth_run(runs / model / f"s{seed}", model=model, seed=seed,
+                      auroc=auroc, exp="exp2", skill=skill)
+    result = run_report("exp2", runs, tmp_path / "r", n_resamples=50)
+    markdown = result["markdown"].read_text()
+    assert "t 95% CI" in markdown
+    # the t interval is computed over the three per-seed deltas
+    from ssl4polyp_tpu.analysis.report_core import t_confidence_interval
+
+    per_seed = result["deltas"][("SslImnet", "SslColon")]["metrics"]["auroc"]["per_seed"]
+    lo, hi = t_confidence_interval(list(per_seed.values()))
+    assert f"[{lo:.3f}, {hi:.3f}]" in markdown
+
+
+def test_t_confidence_interval_matches_reference_constant():
+    # df=2, 95% two-sided → t = 4.302652729911275 (reference _T_CRITICAL_975)
+    from ssl4polyp_tpu.analysis.report_core import t_confidence_interval
+
+    values = [0.1, 0.2, 0.3]
+    lo, hi = t_confidence_interval(values)
+    std = np.std(values, ddof=1)
+    margin = 4.302652729911275 * std / np.sqrt(3)
+    assert lo == pytest.approx(0.2 - margin, abs=1e-9)
+    assert hi == pytest.approx(0.2 + margin, abs=1e-9)
+    assert t_confidence_interval([0.1]) is None
+    assert t_confidence_interval([0.1, 0.1]) == (0.1, 0.1)
 
 
 def test_frame_bootstrap_true_auroc():
@@ -447,3 +567,130 @@ def test_frame_bootstrap_true_auroc():
         "weak", "strong", metric="auroc"
     )
     assert delta.samples == delta2.samples
+
+
+def _synth_exp5a_pair(tmp_path, *, models=("SupImnet", "SslImnet", "SslColon"),
+                      seeds=(13, 29, 47), centers=None):
+    """SUN parent runs + exp5a PolypGen runs wired via provenance.parent_run."""
+    sun_root = tmp_path / "sun"
+    exp_root = tmp_path / "exp5a"
+    centers = centers or [f"C{k}" for k in range(1, 7)]
+    for mi, model in enumerate(models):
+        for seed in seeds:
+            synth_run(sun_root, model=model, seed=seed, exp="exp2",
+                      auroc=0.9 + 0.01 * mi, skill=2.0)
+            synth_run(
+                exp_root / model, model=model, seed=seed, exp="exp5a",
+                auroc=0.7 + 0.05 * mi, skill=0.8 + 0.3 * mi,
+                centers=centers,
+                parent=f"sun/{model}_SUNFull_s{seed}.metrics.json",
+            )
+    return sun_root, exp_root
+
+
+def test_exp5a_domain_shift_report(tmp_path):
+    """exp5a report: parent-run loading, paired SUN→PolypGen deltas with
+    centre/case cluster bootstrap CIs, per-centre rows, CSV artifacts
+    (reference ``exp5a_report.py:712-808,809-864,1208-1268``)."""
+    import csv as _csv
+
+    from ssl4polyp_tpu.analysis.common import load_common_run as load_run
+    from ssl4polyp_tpu.analysis.exp5a_domain_shift import _suite
+
+    _sun_root, exp_root = _synth_exp5a_pair(tmp_path)
+    report_dir = tmp_path / "report"
+    result = run_report("exp5a", exp_root, report_dir, n_resamples=60)
+    markdown = result["markdown"].read_text()
+    assert "## Domain shift (SUN-test → PolypGen-test)" in markdown
+    assert "### Per-centre performance" in markdown
+    assert "### Pairwise deltas on PolypGen" in markdown
+    assert "### Test-set composition" in markdown
+    for name in ("exp5a_performance.csv", "exp5a_domain_shift.csv",
+                 "exp5a_composition.csv"):
+        assert (report_dir / name).exists(), name
+
+    # The CSV's point delta must equal the hand-computed seed-mean of
+    # metric(PolypGen @ τ) − metric(SUN parent @ τ_sun).
+    with open(report_dir / "exp5a_domain_shift.csv", newline="") as handle:
+        rows = {(r["model"], r["metric"]): r for r in _csv.DictReader(handle)}
+    for metric in ("auroc", "f1", "loss"):
+        expected = []
+        for seed in (13, 29, 47):
+            polyp = load_run(
+                exp_root / "SupImnet" / f"SupImnet_SUNFull_s{seed}.metrics.json"
+            )
+            sun = load_run(tmp_path / "sun" / f"SupImnet_SUNFull_s{seed}.metrics.json")
+            polyp_vals = _suite(
+                np.asarray([f.prob for f in polyp.frames]),
+                np.asarray([f.label for f in polyp.frames]),
+                polyp.primary_tau,
+            )
+            sun_vals = _suite(
+                np.asarray([f.prob for f in sun.frames]),
+                np.asarray([f.label for f in sun.frames]),
+                sun.primary_tau,
+            )
+            expected.append(polyp_vals[metric] - sun_vals[metric])
+        row = rows[("SupImnet", metric)]
+        assert float(row["mean"]) == pytest.approx(float(np.mean(expected)), abs=1e-9)
+        assert int(row["n"]) == 3
+        assert float(row["delta_seed13"]) == pytest.approx(expected[0], abs=1e-9)
+        # bootstrap CI brackets the point estimate
+        assert float(row["ci_lower"]) <= float(row["mean"]) <= float(row["ci_upper"])
+
+    # composition CSV: overall + one row per centre
+    with open(report_dir / "exp5a_composition.csv", newline="") as handle:
+        comp_rows = list(_csv.DictReader(handle))
+    scopes = [r["scope"] for r in comp_rows]
+    assert scopes.count("overall") == 1
+    assert scopes.count("center") == 6
+    overall = next(r for r in comp_rows if r["scope"] == "overall")
+    assert int(overall["total"]) == 60
+
+
+def test_exp5a_center_mismatch_excluded(tmp_path):
+    """Centre coverage/count mismatches disable the bootstrap with a
+    warning instead of silently mixing clusters (reference
+    ``_resolve_center_alignment``, ``exp5a_report.py:809-864``)."""
+    models = ("SupImnet", "SslColon")
+    _sun_root, exp_root = _synth_exp5a_pair(tmp_path, models=models)
+    # regenerate one model's runs with a different centre grid
+    import shutil
+
+    shutil.rmtree(exp_root / "SslColon")
+    for seed in (13, 29, 47):
+        synth_run(
+            exp_root / "SslColon", model="SslColon", seed=seed, exp="exp5a",
+            auroc=0.75, skill=1.1,
+            centers=[f"C{k}" for k in range(1, 6)],
+            parent=f"sun/SslColon_SUNFull_s{seed}.metrics.json",
+        )
+    report_dir = tmp_path / "report"
+    result = run_report("exp5a", exp_root, report_dir, n_resamples=20)
+    markdown = result["markdown"].read_text()
+    assert "### Warnings" in markdown
+    assert ("excluding from bootstrap" in markdown
+            or "bootstrap disabled" in markdown)
+
+
+def test_exp5a_missing_parent_warns(tmp_path):
+    """Runs whose parent SUN run cannot be resolved still report PolypGen
+    performance but flag the missing domain-shift payload."""
+    exp_root = tmp_path / "exp5a"
+    for seed in (13, 29, 47):
+        synth_run(
+            exp_root, model="SslColon", seed=seed, exp="exp5a",
+            centers=["C1", "C2", "C3"],
+            parent="sun/does_not_exist.metrics.json",
+        )
+    report_dir = tmp_path / "report"
+    result = run_report("exp5a", exp_root, report_dir, n_resamples=10)
+    markdown = result["markdown"].read_text()
+    assert "no parent SUN run resolvable" in markdown
+    assert (report_dir / "exp5a_performance.csv").exists()
+    # domain-shift rows exist but carry no deltas
+    import csv as _csv
+
+    with open(report_dir / "exp5a_domain_shift.csv", newline="") as handle:
+        rows = list(_csv.DictReader(handle))
+    assert all(int(r["n"]) == 0 for r in rows)
