@@ -39,6 +39,7 @@ class FrameRecord:
     sequence_id: Optional[str] = None
     morphology: Optional[str] = None
     origin: Optional[str] = None
+    perturbation_tag: Optional[str] = None
 
 
 @dataclass
@@ -108,6 +109,7 @@ def read_outputs_csv(path: Path) -> List[FrameRecord]:
                     sequence_id=row.get("sequence_id") or None,
                     morphology=row.get("morphology") or None,
                     origin=row.get("origin") or None,
+                    perturbation_tag=row.get("perturbation_tag") or None,
                 )
             )
     return frames

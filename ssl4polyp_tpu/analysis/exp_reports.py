@@ -418,9 +418,55 @@ def _case_delta_bootstrap(
     return point, float(np.quantile(arr, 0.025)), float(np.quantile(arr, 0.975))
 
 
+def _retention_from_frames(run: CommonRun) -> Optional[tuple]:
+    """(tag→f1, tag→{case→f1}) recomputed from tagged outputs-CSV rows.
+
+    Returns ``None`` when the run's CSV predates the ``perturbation_tag``
+    column; the declared ``test_perturbations`` blocks are the fallback.
+    Recomputed per-tag F1 is cross-checked against the declared block so
+    the engine-declared numbers stay auditable (report_core's
+    ``recompute_primary_metrics`` posture extended to exp5b)."""
+    if not run.frames or not any(f.perturbation_tag for f in run.frames):
+        return None
+    from .frame_bootstrap import metric_from_frames
+    from .guardrails import GuardrailViolation
+
+    tau = run.primary_tau if run.primary_tau is not None else 0.5
+    by_tag: Dict[str, Dict[str, List[int]]] = {}
+    probs = np.asarray([f.prob for f in run.frames], dtype=float)
+    labels = np.asarray([f.label for f in run.frames], dtype=int)
+    for i, frame in enumerate(run.frames):
+        tag = frame.perturbation_tag or "clean"
+        case = str(frame.case_id or frame.sequence_id or frame.frame_id)
+        by_tag.setdefault(tag, {}).setdefault(case, []).append(i)
+    tag_f1: Dict[str, float] = {}
+    tag_case_f1: Dict[str, Dict[str, float]] = {}
+    declared = (run.payload.get("test_perturbations") or {}).get("per_tag") or {}
+    for tag, cases in by_tag.items():
+        idx = np.concatenate([np.asarray(ix) for ix in cases.values()])
+        tag_f1[tag] = metric_from_frames("f1", probs[idx], labels[idx], tau)
+        stated = (declared.get(tag) or {}).get("f1")
+        if isinstance(stated, (int, float)) and math.isfinite(float(stated)):
+            if abs(float(stated) - tag_f1[tag]) > 1e-6:
+                raise GuardrailViolation(
+                    f"{run.metrics_path}: test_perturbations.per_tag[{tag!r}].f1="
+                    f"{float(stated):.8f} disagrees with the outputs-CSV "
+                    f"recomputation {tag_f1[tag]:.8f}"
+                )
+        tag_case_f1[tag] = {
+            case: metric_from_frames(
+                "f1", probs[np.asarray(ix)], labels[np.asarray(ix)], tau
+            )
+            for case, ix in cases.items()
+        }
+    return tag_f1, tag_case_f1
+
+
 def _retention_section(run_set: RunSet) -> List[str]:
     """exp5b: per-family/per-severity F1 retention vs clean with paired
-    case-level bootstrap CIs (reference ``exp5b_report.py`` T2/T3 tables)."""
+    case-level bootstrap CIs, recomputed from the exported outputs-CSV
+    frames when the ``perturbation_tag`` column is present (reference
+    ``exp5b_report.py`` T2/T3 tables + its outputs-CSV requirement)."""
     lines = ["## Perturbation retention (F1 vs clean)", ""]
     any_rows = False
     for condition in run_set.conditions():
@@ -429,9 +475,20 @@ def _retention_section(run_set: RunSet) -> List[str]:
         # tag → seed → per-case (tag_f1 − clean_f1) over shared cases
         case_deltas: Dict[str, Dict[int, np.ndarray]] = {}
         for seed, run in run_set.runs[condition].items():
-            block = run.payload.get("test_perturbations") or {}
-            per_tag = block.get("per_tag") or {}
-            per_case = block.get("per_case") or {}
+            recomputed = _retention_from_frames(run)
+            if recomputed is not None:
+                tag_f1, tag_case_f1 = recomputed
+                per_tag: Dict[str, Dict[str, float]] = {
+                    tag: {"f1": value} for tag, value in tag_f1.items()
+                }
+                per_case: Dict[str, Dict[str, Dict[str, float]]] = {
+                    tag: {case: {"f1": value} for case, value in cases.items()}
+                    for tag, cases in tag_case_f1.items()
+                }
+            else:
+                block = run.payload.get("test_perturbations") or {}
+                per_tag = block.get("per_tag") or {}
+                per_case = block.get("per_case") or {}
             clean = per_tag.get("clean") or {}
             clean_f1 = clean.get("f1")
             if isinstance(clean_f1, (int, float)) and math.isfinite(float(clean_f1)):

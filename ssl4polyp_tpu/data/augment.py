@@ -19,7 +19,8 @@ permutation, and rotation resamples bilinearly rather than nearest-neighbour.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import math
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +29,13 @@ from .transforms import IMAGENET_MEAN, IMAGENET_STD
 
 _BLUR_TAPS = 25  # torchvision GaussianBlur kernel_size=(25, 25)
 
-__all__ = ["augment_batch", "normalize_batch"]
+__all__ = [
+    "augment_batch",
+    "normalize_batch",
+    "smooth_one_hot",
+    "mixup_cutmix_batch",
+    "random_erasing",
+]
 
 
 def _grayscale(x: jax.Array) -> jax.Array:
@@ -197,3 +204,147 @@ def augment_batch(images_u8: jax.Array, key: jax.Array, dtype=jnp.float32) -> ja
     std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
     x = (x - mean) / std
     return x.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Batch-level regularizers for the vendored MAE finetune path
+# (reference ``models/mae/main_finetune.py:91-112`` — timm Mixup/CutMix and
+# RandomErasing knobs; re-expressed as fully jittable on-device transforms:
+# static shapes, iota-built box masks, ``jnp.where`` selection instead of
+# data-dependent Python control flow.)
+# ---------------------------------------------------------------------------
+
+def smooth_one_hot(labels: jax.Array, num_classes: int, smoothing: float) -> jax.Array:
+    """Label-smoothed one-hot targets (timm ``Mixup`` applies smoothing
+    inside the label transform; reference ``main_finetune.py:87-88``)."""
+    on = 1.0 - smoothing + smoothing / num_classes
+    off = smoothing / num_classes
+    return jax.nn.one_hot(labels, num_classes) * (on - off) + off
+
+
+def _box_mask(key: jax.Array, height: int, width: int, lam: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(mask[H,W], corrected λ): a random box with area ratio ≈ (1−λ),
+    clipped at the borders (timm ``rand_bbox`` semantics)."""
+    k_y, k_x = jax.random.split(key)
+    ratio = jnp.sqrt(1.0 - lam)
+    cut_h = (height * ratio).astype(jnp.int32)
+    cut_w = (width * ratio).astype(jnp.int32)
+    cy = jax.random.randint(k_y, (), 0, height)
+    cx = jax.random.randint(k_x, (), 0, width)
+    y0 = jnp.clip(cy - cut_h // 2, 0, height)
+    y1 = jnp.clip(cy + cut_h // 2, 0, height)
+    x0 = jnp.clip(cx - cut_w // 2, 0, width)
+    x1 = jnp.clip(cx + cut_w // 2, 0, width)
+    rows = jnp.arange(height)[:, None]
+    cols = jnp.arange(width)[None, :]
+    mask = ((rows >= y0) & (rows < y1) & (cols >= x0) & (cols < x1))
+    corrected = 1.0 - (y1 - y0) * (x1 - x0) / float(height * width)
+    return mask, corrected
+
+
+def mixup_cutmix_batch(
+    images: jax.Array,
+    targets: jax.Array,
+    key: jax.Array,
+    *,
+    mixup_alpha: float = 0.0,
+    cutmix_alpha: float = 0.0,
+    prob: float = 1.0,
+    switch_prob: float = 0.5,
+    valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batch-mode Mixup/CutMix: one λ per batch, each row paired with its
+    reversed-batch partner (timm ``Mixup(mode="batch")``).
+
+    ``targets`` are soft (already one-hot/smoothed).  Rows whose partner is
+    masked invalid keep their original pixels and targets — padded rows must
+    not bleed into real ones (a TPU-mesh concern timm doesn't have).
+    """
+    if mixup_alpha <= 0.0 and cutmix_alpha <= 0.0:
+        return images, targets
+    k_apply, k_switch, k_lam_mix, k_lam_cut, k_box = jax.random.split(key, 5)
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+
+    use_cutmix = (
+        jax.random.bernoulli(k_switch, switch_prob)
+        if (mixup_alpha > 0.0 and cutmix_alpha > 0.0)
+        else jnp.asarray(cutmix_alpha > 0.0)
+    )
+    lam_mix = (
+        jax.random.beta(k_lam_mix, mixup_alpha, mixup_alpha)
+        if mixup_alpha > 0.0
+        else jnp.float32(1.0)
+    )
+    lam_cut = (
+        jax.random.beta(k_lam_cut, cutmix_alpha, cutmix_alpha)
+        if cutmix_alpha > 0.0
+        else jnp.float32(1.0)
+    )
+
+    flipped_images = jnp.flip(images, axis=0)
+    flipped_targets = jnp.flip(targets, axis=0)
+
+    box, lam_cut_corrected = _box_mask(k_box, int(h), int(w), lam_cut)
+    cut_images = jnp.where(box[None, :, :, None], flipped_images, images)
+    mix_images = lam_mix * images + (1.0 - lam_mix) * flipped_images
+
+    lam = jnp.where(use_cutmix, lam_cut_corrected, lam_mix)
+    mixed_images = jnp.where(use_cutmix, cut_images, mix_images)
+    mixed_targets = lam * targets + (1.0 - lam) * flipped_targets
+
+    apply = jax.random.bernoulli(k_apply, prob)
+    out_images = jnp.where(apply, mixed_images, images)
+    out_targets = jnp.where(apply, mixed_targets, targets)
+    if valid is not None:
+        pair_ok = (valid & jnp.flip(valid, axis=0))[:, None]
+        out_targets = jnp.where(pair_ok, out_targets, targets)
+        out_images = jnp.where(pair_ok[:, :, None, None] > 0, out_images, images)
+    return out_images, out_targets
+
+
+def random_erasing(
+    images: jax.Array,
+    key: jax.Array,
+    *,
+    prob: float = 0.25,
+    scale: Tuple[float, float] = (0.02, 1.0 / 3.0),
+    ratio: Tuple[float, float] = (0.3, 10.0 / 3.0),
+    count: int = 1,
+) -> jax.Array:
+    """Per-sample RandomErasing in ``pixel`` mode: each selected image gets
+    ``count`` random boxes filled with unit-normal noise (applied on the
+    normalized tensor, like timm's transform; reference
+    ``main_finetune.py:91-96``).  timm rejection-samples a feasible box up
+    to 10 times; here the box is clipped at the borders instead — same
+    distribution family, no data-dependent loop under ``jit``."""
+    if prob <= 0.0 or count <= 0:
+        return images
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+
+    def erase_one(image: jax.Array, key: jax.Array) -> jax.Array:
+        keys = jax.random.split(key, count + 1)
+        do = jax.random.bernoulli(keys[0], prob)
+
+        def one_box(image, kb):
+            k_area, k_ratio, k_y, k_x, k_fill = jax.random.split(kb, 5)
+            area = jax.random.uniform(k_area, (), minval=scale[0], maxval=scale[1]) * h * w
+            log_r = jax.random.uniform(
+                k_ratio, (), minval=math.log(ratio[0]), maxval=math.log(ratio[1])
+            )
+            aspect = jnp.exp(log_r)
+            eh = jnp.clip(jnp.sqrt(area * aspect).astype(jnp.int32), 1, h)
+            ew = jnp.clip(jnp.sqrt(area / aspect).astype(jnp.int32), 1, w)
+            y0 = jax.random.randint(k_y, (), 0, h)
+            x0 = jax.random.randint(k_x, (), 0, w)
+            rows = jnp.arange(h)[:, None]
+            cols = jnp.arange(w)[None, :]
+            box = (rows >= y0) & (rows < y0 + eh) & (cols >= x0) & (cols < x0 + ew)
+            noise = jax.random.normal(k_fill, image.shape, dtype=image.dtype)
+            return jnp.where(box[:, :, None], noise, image)
+
+        erased = image
+        for i in range(count):
+            erased = one_box(erased, keys[i + 1])
+        return jnp.where(do, erased, image)
+
+    return jax.vmap(erase_one)(images, jax.random.split(key, b))

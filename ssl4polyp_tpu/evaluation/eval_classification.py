@@ -208,14 +208,10 @@ def evaluate(
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
-    # minimal context shim for make_forward_fn
-    class _Ctx:
-        pass
-
-    ctx = _Ctx()
-    ctx.classifier = type(classifier)(params=params, cfg=classifier.cfg, scheme=classifier.scheme)
-    ctx.mesh = mesh
-    forward_factory = make_forward_fn(ctx)
+    restored_classifier = type(classifier)(
+        params=params, cfg=classifier.cfg, scheme=classifier.scheme
+    )
+    forward_factory = make_forward_fn(restored_classifier, mesh)
 
     resolved_tau = resolve_tau(checkpoint, explicit_tau=tau, threshold_key=threshold_key)
     if resolved_tau is None and threshold_pack is not None:

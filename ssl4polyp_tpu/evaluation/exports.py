@@ -131,6 +131,19 @@ def export_frame_outputs(
             "frame_id", "prob", "label", "pred", "case_id",
             "origin", "center_id", "sequence_id", "morphology",
         ]
+    # Perturbation packs (exp5b corruptions) get their canonical tag as an
+    # extra column so reporters can recompute per-tag/per-case retention
+    # from the artifact alone; clean packs keep the reference's exact
+    # 7/9-column schema (reference ``train_classification.py:2808-2828``).
+    from ssl4polyp_tpu.evaluation.evaluate import canonical_perturbation_tag
+
+    row_tags = [
+        canonical_perturbation_tag(row) if isinstance(row, Mapping) else None
+        for row in metadata_rows
+    ]
+    has_tags = any(tag for tag in row_tags)
+    if has_tags and not polypgen_layout:
+        fieldnames = fieldnames + ["perturbation_tag"]
 
     buffer = io.StringIO(newline="")
     writer = csv.DictWriter(buffer, fieldnames=fieldnames)
@@ -169,6 +182,10 @@ def export_frame_outputs(
             )
             morphology = row.get("morphology") if isinstance(row, Mapping) else None
             payload["morphology"] = str(morphology).strip() if morphology not in (None, "") else None
+            if has_tags:
+                payload["perturbation_tag"] = (
+                    row_tags[idx] if idx < len(row_tags) and row_tags[idx] else "clean"
+                )
         writer.writerow({key: payload.get(key) for key in fieldnames})
 
     content = buffer.getvalue()

@@ -327,18 +327,24 @@ def make_train_step(ctx: TrainContext):
     )
 
 
-def make_forward_fn(ctx: TrainContext):
-    cfg = ctx.classifier.cfg
-    apply_fn = ctx.classifier.apply
-    replicated = NamedSharding(ctx.mesh, P())
-    sharded = NamedSharding(ctx.mesh, P("data"))
+def make_forward_fn(classifier: Classifier, mesh: Any):
+    """Jitted uint8→logits eval forward over the data mesh.
+
+    A first-class entry point shared by the training engine and the
+    standalone eval CLI (``evaluation/eval_classification.py``) — takes the
+    classifier and mesh explicitly so callers don't have to fake a
+    ``TrainContext``."""
+    cfg = classifier.cfg
+    apply_fn = classifier.apply
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
 
     @jax.jit
     def forward(params, images_u8):
         images = normalize_batch(images_u8, dtype=cfg.compute_dtype)
         return apply_fn(params, images).astype(jnp.float32)
 
-    n_data = int(ctx.mesh.shape["data"])
+    n_data = int(mesh.shape["data"])
 
     def run(params):
         def fn(images_u8):
@@ -478,7 +484,7 @@ def run_classification_training(
         "max" if any(tok in monitor_key for tok in ("auroc", "auprc", "f1", "acc")) else "min"
     )
 
-    forward_factory = make_forward_fn(ctx)
+    forward_factory = make_forward_fn(ctx.classifier, ctx.mesh)
     dataset_name = plan.dataset_layout.name
 
     thresholds_map: Dict[str, float] = {}

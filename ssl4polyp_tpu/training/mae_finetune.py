@@ -27,7 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ssl4polyp_tpu.data.augment import augment_batch, normalize_batch
+from ssl4polyp_tpu.data.augment import (
+    augment_batch,
+    mixup_cutmix_batch,
+    normalize_batch,
+    random_erasing,
+    smooth_one_hot,
+)
 from ssl4polyp_tpu.data.loader import HostDataLoader
 from ssl4polyp_tpu.data.packs import PackIndex
 from ssl4polyp_tpu.models.factory import Classifier
@@ -49,14 +55,25 @@ class MAEFinetuneSettings:
     num_workers: int = 8
     seed: int = 0
     log_interval: int = 20
+    # Upstream regularizer knobs (reference ``main_finetune.py:87-112``):
+    # label smoothing, Mixup/CutMix (enabled when alpha > 0), RandomErasing.
+    smoothing: float = 0.1
+    mixup_alpha: float = 0.0
+    cutmix_alpha: float = 0.0
+    mixup_prob: float = 1.0
+    mixup_switch_prob: float = 0.5
+    reprob: float = 0.25
+    recount: int = 1
+    num_classes: int = 2
 
 
-def _cross_entropy(logits, labels, valid):
+def _soft_cross_entropy(logits, targets, valid):
+    """CE against soft targets (mixup/smoothed labels), masking padded rows."""
     logits = logits.astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
+    per_row = -jnp.sum(targets * log_probs, axis=-1)
     valid_f = valid.astype(jnp.float32)
-    return -jnp.sum(picked * valid_f) / jnp.maximum(jnp.sum(valid_f), 1.0)
+    return jnp.sum(per_row * valid_f) / jnp.maximum(jnp.sum(valid_f), 1.0)
 
 
 def _epoch_loop(classifier, params, train_index, settings, *, update_fn, opt_state, mesh, augment):
@@ -66,12 +83,30 @@ def _epoch_loop(classifier, params, train_index, settings, *, update_fn, opt_sta
 
     def step(params, opt_state, images_u8, labels, valid, key, lr):
         def loss_fn(p):
+            k_aug, k_erase, k_mix = jax.random.split(key, 3)
             if augment:
-                images = augment_batch(images_u8, key, dtype=cfg.compute_dtype)
+                images = augment_batch(images_u8, k_aug, dtype=cfg.compute_dtype)
             else:
                 images = normalize_batch(images_u8, dtype=cfg.compute_dtype)
+            targets = smooth_one_hot(labels, settings.num_classes, settings.smoothing)
+            if augment:
+                # timm order: per-sample erasing on the normalized tensor,
+                # then batch-mode mixup/cutmix in the train loop
+                if settings.reprob > 0.0:
+                    images = random_erasing(
+                        images, k_erase,
+                        prob=settings.reprob, count=settings.recount,
+                    )
+                images, targets = mixup_cutmix_batch(
+                    images, targets, k_mix,
+                    mixup_alpha=settings.mixup_alpha,
+                    cutmix_alpha=settings.cutmix_alpha,
+                    prob=settings.mixup_prob,
+                    switch_prob=settings.mixup_switch_prob,
+                    valid=valid,
+                )
             logits = classifier.apply(p, images)
-            return _cross_entropy(logits, labels, valid)
+            return _soft_cross_entropy(logits, targets, valid)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         params, opt_state = update_fn(params, grads, opt_state, lr)
@@ -149,7 +184,9 @@ def run_mae_finetune(
 def run_linear_probe(
     classifier: Classifier,
     train_index: PackIndex,
-    settings: MAEFinetuneSettings = MAEFinetuneSettings(base_lr=0.1, weight_decay=0.0),
+    settings: MAEFinetuneSettings = MAEFinetuneSettings(
+        base_lr=0.1, weight_decay=0.0, smoothing=0.0
+    ),
     mesh=None,
 ) -> Dict[str, Any]:
     """Linear probe: frozen encoder, LARS on the head (upstream ``main_linprobe``)."""

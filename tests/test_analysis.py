@@ -50,16 +50,20 @@ def synth_run(
     tau = 0.5
     preds = (probs >= tau).astype(int)
 
+    tags = ["clean", "blur_sigma=1.5", "jpeg_q=30"]
     outputs_path = directory / f"{stem}_test_outputs.csv"
+    fieldnames = [
+        "frame_id", "prob", "label", "pred", "case_id",
+        "origin", "center_id", "sequence_id", "morphology",
+    ]
+    if perturbations:
+        fieldnames.append("perturbation_tag")
     with open(outputs_path, "w", newline="") as handle:
-        writer = csv.DictWriter(handle, fieldnames=[
-            "frame_id", "prob", "label", "pred", "case_id",
-            "origin", "center_id", "sequence_id", "morphology",
-        ])
+        writer = csv.DictWriter(handle, fieldnames=fieldnames)
         writer.writeheader()
         for i in range(n_frames):
             center = centers[i % len(centers)] if centers else ""
-            writer.writerow({
+            row = {
                 "frame_id": f"f{i}",
                 "prob": float(probs[i]),
                 "label": int(labels[i]),
@@ -70,7 +74,12 @@ def synth_run(
                 "center_id": center,
                 "sequence_id": "" if centers else f"case{i % 6}",
                 "morphology": "flat" if i % 3 == 0 else "polypoid",
-            })
+            }
+            if perturbations:
+                # every case sees every tag (a corruption pack perturbs the
+                # same underlying frames), so tag-vs-clean case pairing works
+                row["perturbation_tag"] = tags[(i // 6) % 3]
+            writer.writerow(row)
 
     # The declared block must agree with the frames — reporters now recompute
     # and audit it (report_core.recompute_primary_metrics); `auroc`/`skill`
@@ -156,27 +165,27 @@ def synth_run(
             "polypoid": {"recall": 0.9, "f1": 0.88, "auroc": auroc, "balanced_accuracy": 0.9},
         }
     if perturbations:
-        cases = [f"case{i}" for i in range(6)]
-        rng_p = np.random.default_rng(seed)
+        # Declared blocks are recomputed from the tagged frames so the
+        # reporter's frame-recompute cross-check holds (it hard-fails on
+        # declared-vs-frames disagreement).
+        from sklearn.metrics import f1_score
 
-        def per_case(center):
-            return {
-                c: {"f1": float(np.clip(rng_p.normal(center, 0.05), 0, 1)), "count": 4.0}
-                for c in cases
+        def f1_of(mask):
+            if not mask.any():
+                return 0.0
+            return float(f1_score(labels[mask], preds[mask], zero_division=0))
+
+        per_tag, per_case = {}, {}
+        idx = np.arange(n_frames)
+        for ti, tag in enumerate(tags):
+            mask = (idx // 6 % 3) == ti
+            per_tag[tag] = {"f1": f1_of(mask), "count": int(mask.sum())}
+            per_case[tag] = {
+                f"case{c}": {"f1": f1_of(mask & (idx % 6 == c)), "count": 1.0}
+                for c in range(6)
+                if (mask & (idx % 6 == c)).any()
             }
-
-        payload["test_perturbations"] = {
-            "per_tag": {
-                "clean": {"f1": 0.9, "count": 24},
-                "blur_sigma=1.5": {"f1": 0.7, "count": 24},
-                "jpeg_q=30": {"f1": 0.8, "count": 24},
-            },
-            "per_case": {
-                "clean": per_case(0.9),
-                "blur_sigma=1.5": per_case(0.7),
-                "jpeg_q=30": per_case(0.8),
-            },
-        }
+        payload["test_perturbations"] = {"per_tag": per_tag, "per_case": per_case}
     if zero_shot:
         zs_probs = np.clip(rng.normal(0.5 + (labels - 0.5) * 0.2, 0.2), 0.001, 0.999)
         zs_path = directory / f"{stem}_zeroshot_outputs.csv"
@@ -414,7 +423,52 @@ def test_exp5b_retention(tmp_path):
     assert "| blur_sigma | 1.500 |" in markdown
     blur_row = next(l for l in markdown.splitlines() if "blur_sigma=1.5" in l)
     assert "[" in blur_row and "]" in blur_row  # bootstrap CI rendered
-    assert "-0.2" in blur_row  # ~0.7 − 0.9 per-case delta
+    # the f1 cell is the frame-recomputed per-tag mean over seeds
+    from ssl4polyp_tpu.analysis.exp_reports import _retention_from_frames
+
+    means = []
+    for seed in (13, 29, 47):
+        run = load_common_run(runs / f"s{seed}" / f"SslColon_SUNFull_s{seed}.metrics.json")
+        tag_f1, _ = _retention_from_frames(run)
+        means.append(tag_f1["blur_sigma=1.5"])
+    assert f"{float(np.mean(means)):.3f}" in blur_row
+
+
+def test_exp5b_retention_survives_per_case_deletion(tmp_path):
+    """Retention numbers are recomputed from the tagged outputs CSV: the
+    table is identical after deleting the declared per_case block
+    (VERDICT item 5 done-criterion; reference exp5b requires the outputs
+    CSV to exist — ``exp5b_report.py:527-529``)."""
+    runs = tmp_path / "runs"
+    for seed in (13, 29, 47):
+        synth_run(runs / f"s{seed}", model="SslColon", seed=seed, exp="exp5b",
+                  perturbations=True)
+    before = run_report("exp5b", runs, tmp_path / "r1", n_resamples=50)
+    section = lambda text: text[text.index("## Perturbation retention"):]
+    md_before = section(before["markdown"].read_text())
+    for path in runs.glob("**/*.metrics.json"):
+        payload = json.loads(path.read_text())
+        del payload["test_perturbations"]["per_case"]
+        path.write_text(json.dumps(payload))
+    after = run_report("exp5b", runs, tmp_path / "r2", n_resamples=50)
+    assert section(after["markdown"].read_text()) == md_before
+
+
+def test_exp5b_declared_per_tag_tamper_rejected(tmp_path):
+    """A declared per-tag F1 that disagrees with the tagged frames is a
+    guardrail violation, not a silent preference."""
+    from ssl4polyp_tpu.analysis.guardrails import GuardrailViolation as GV
+
+    runs = tmp_path / "runs"
+    for seed in (13, 29, 47):
+        synth_run(runs / f"s{seed}", model="SslColon", seed=seed, exp="exp5b",
+                  perturbations=True)
+    path = runs / "s13" / "SslColon_SUNFull_s13.metrics.json"
+    payload = json.loads(path.read_text())
+    payload["test_perturbations"]["per_tag"]["blur_sigma=1.5"]["f1"] += 0.05
+    path.write_text(json.dumps(payload))
+    with pytest.raises(GV, match="disagrees"):
+        run_report("exp5b", runs, tmp_path / "r", n_resamples=10)
 
 
 def test_exp5c_zero_shot_anchor(tmp_path):

@@ -1,5 +1,7 @@
 """LARS, layer-wise LR decay, DPT decoder, MAE-style finetune engines."""
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -139,3 +141,93 @@ def test_linear_probe_trains_head_only(tmp_path):
     after = result["params"]
     np.testing.assert_array_equal(np.asarray(after["patch_embed"]["kernel"]), before_backbone)
     assert not np.array_equal(np.asarray(after["head"]["kernel"]), before_head)
+
+
+def test_mixup_cutmix_and_erasing_numerics():
+    """Convergence-free numerics for the upstream finetune regularizers
+    (reference ``mae/main_finetune.py:87-112`` knobs)."""
+    from ssl4polyp_tpu.data.augment import (
+        mixup_cutmix_batch,
+        random_erasing,
+        smooth_one_hot,
+    )
+
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (8, 16, 16, 3))
+    labels = jnp.array([0, 1, 0, 1, 0, 1, 0, 1])
+
+    # label smoothing: rows sum to 1, on-value = 1 − s + s/K
+    y = smooth_one_hot(labels, 2, 0.1)
+    np.testing.assert_allclose(np.asarray(y.sum(axis=1)), 1.0, atol=1e-6)
+    assert float(y[0, 0]) == pytest.approx(0.95)
+    assert float(y[0, 1]) == pytest.approx(0.05)
+
+    # pure mixup: convex combination with the reversed batch, targets sum to 1
+    xm, ym = mixup_cutmix_batch(
+        x, y, key, mixup_alpha=0.8, cutmix_alpha=0.0,
+        valid=jnp.ones(8, bool),
+    )
+    np.testing.assert_allclose(np.asarray(ym.sum(axis=1)), 1.0, atol=1e-6)
+    # row i is lam*x[i] + (1-lam)*x[-1-i]; recover lam from row 0 and verify row 1
+    lam = float((xm[0] - x[7]).flatten()[0] / (x[0] - x[7]).flatten()[0])
+    assert 0.0 <= lam <= 1.0
+    np.testing.assert_allclose(
+        np.asarray(xm[1]), np.asarray(lam * x[1] + (1 - lam) * x[6]), atol=1e-5
+    )
+
+    # pure cutmix: every pixel comes from self or partner; λ equals the
+    # non-box area fraction and the targets use the corrected λ
+    xc, yc = mixup_cutmix_batch(
+        x, y, key, mixup_alpha=0.0, cutmix_alpha=1.0,
+        valid=jnp.ones(8, bool),
+    )
+    from_self = np.isclose(np.asarray(xc[2]), np.asarray(x[2])).all(axis=-1)
+    from_partner = np.isclose(np.asarray(xc[2]), np.asarray(x[5])).all(axis=-1)
+    assert (from_self | from_partner).all()
+    lam_area = from_self.mean()
+    expected = lam_area * np.asarray(y[2]) + (1 - lam_area) * np.asarray(y[5])
+    np.testing.assert_allclose(np.asarray(yc[2]), expected, atol=1e-5)
+
+    # invalid partners must not bleed in
+    valid = jnp.array([True] * 7 + [False])
+    xv, yv = mixup_cutmix_batch(
+        x, y, key, mixup_alpha=0.8, cutmix_alpha=0.0, valid=valid,
+    )
+    np.testing.assert_array_equal(np.asarray(xv[0]), np.asarray(x[0]))
+    np.testing.assert_array_equal(np.asarray(yv[0]), np.asarray(y[0]))
+
+    # random erasing: prob=0 is the identity; prob=1 touches a plausible area
+    np.testing.assert_array_equal(
+        np.asarray(random_erasing(x, key, prob=0.0)), np.asarray(x)
+    )
+    xe = random_erasing(x, key, prob=1.0)
+    changed = (np.asarray(xe) != np.asarray(x)).any(axis=-1).mean()
+    assert 0.0 < changed < 0.6
+
+
+@pytest.mark.slow
+def test_mae_finetune_with_regularizers(tmp_path):
+    """One epoch of the vendored finetune path with mixup+cutmix+erasing on:
+    finite loss, params move."""
+    from ssl4polyp_tpu.data.packs import create_classification_datasets
+    from ssl4polyp_tpu.models.factory import get_imagenet_or_random_vit
+    from ssl4polyp_tpu.training.mae_finetune import MAEFinetuneSettings, run_mae_finetune
+    from tests.conftest import make_image_pack
+
+    pack = make_image_pack(tmp_path, frames_per_split=8, image_size=32)
+    datasets = create_classification_datasets(train_spec=pack, image_size=32)
+    classifier = get_imagenet_or_random_vit(
+        jax.random.PRNGKey(0), None, num_classes=2,
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+        compute_dtype=jnp.float32,
+    )
+    before = np.asarray(classifier.params["head"]["kernel"]).copy()
+    result = run_mae_finetune(
+        classifier, datasets["train"],
+        MAEFinetuneSettings(
+            epochs=1, warmup_epochs=0, batch_size=8, num_workers=1,
+            mixup_alpha=0.8, cutmix_alpha=1.0, reprob=0.5, smoothing=0.1,
+        ),
+    )
+    assert math.isfinite(result["train_loss"])
+    assert not np.array_equal(np.asarray(result["params"]["head"]["kernel"]), before)
