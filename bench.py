@@ -31,6 +31,150 @@ os.environ.setdefault(
 BASELINE_IMAGES_PER_SEC = 1650.0  # 2x A100 estimate (north-star target)
 
 
+def _measure(jit_call, *, images_per_iter: int, n_devices: int):
+    """(median img/s/chip, per-trial list): trials × iters dispatches with a
+    forced readback per trial (the relay treats block_until_ready loosely)."""
+    import numpy as np
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    per_trial = []
+    step = 0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jit_call(step)
+            step += 1
+        float(out)
+        elapsed = time.perf_counter() - t0
+        per_trial.append(images_per_iter * iters / elapsed / n_devices)
+    return float(np.median(per_trial)), per_trial
+
+
+def _emit(metric: str, per_chip: float, per_trial, *, baseline: float) -> None:
+    import numpy as np
+
+    q1, q3 = (float(np.quantile(per_trial, q)) for q in (0.25, 0.75))
+    print(json.dumps({
+        "metric": metric,
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / baseline, 3),
+        "trials": len(per_trial),
+        "iqr": [round(q1, 1), round(q3, 1)],
+        "min": round(min(per_trial), 1),
+        "max": round(max(per_trial), 1),
+    }))
+
+
+def bench_finetune() -> None:
+    """ViT-B/16 classification fine-tune step (augment → fwd → bwd → AdamW)
+    at the reference's batch 128 (``config/base.yaml:1-13``)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ssl4polyp_tpu.data.augment import normalize_batch
+    from ssl4polyp_tpu.models.factory import get_imagenet_or_random_vit
+    from ssl4polyp_tpu.models.layers import cast_params_for_compute
+    from ssl4polyp_tpu.parallel.mesh import build_mesh
+    from ssl4polyp_tpu.training import optim
+
+    mesh = build_mesh()
+    n_devices = len(jax.devices())
+    batch = int(os.environ.get("BENCH_BATCH", "128")) * n_devices
+    classifier = get_imagenet_or_random_vit(
+        jax.random.PRNGKey(0), None, num_classes=2,
+        unroll_blocks=os.environ.get("BENCH_UNROLL", "1") == "1",
+        use_pallas_attention=os.environ.get("BENCH_PALLAS", "1") == "1",
+    )
+    cfg = classifier.cfg
+    params = classifier.params
+    opt_state = optim.adamw_init(params)
+    ones = jax.tree_util.tree_map(lambda _: 1.0, params)
+    wd_scale = optim.no_weight_decay_scales(params)
+
+    def step(p, s, images_u8, labels):
+        def loss_fn(p):
+            images = normalize_batch(images_u8, dtype=cfg.compute_dtype)
+            logits = classifier.apply(
+                cast_params_for_compute(p, cfg.compute_dtype), images
+            ).astype(jnp.float32)
+            one_hot = jax.nn.one_hot(labels, 2)
+            return -jnp.mean(
+                jnp.sum(jax.nn.log_softmax(logits) * one_hot, axis=-1)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        p, s = optim.adamw_update(
+            p, grads, s, lr=1e-3, weight_decay=0.05,
+            lr_scale=ones, wd_scale=wd_scale,
+        )
+        return p, s, loss
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+    jit_step = jax.jit(
+        step,
+        in_shardings=(replicated, replicated, sharded, sharded),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0, 1),
+    )
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.integers(0, 255, (batch, 224, 224, 3), dtype=np.uint8), sharded
+    )
+    labels = jax.device_put(rng.integers(0, 2, (batch,), dtype=np.int32), sharded)
+    params = jax.device_put(params, replicated)
+    opt_state = jax.device_put(opt_state, replicated)
+    state = {"p": params, "s": opt_state}
+    for _ in range(3):
+        state["p"], state["s"], loss = jit_step(state["p"], state["s"], images, labels)
+    float(loss)
+
+    def call(_):
+        state["p"], state["s"], loss = jit_step(state["p"], state["s"], images, labels)
+        return loss
+
+    per_chip, per_trial = _measure(call, images_per_iter=batch, n_devices=n_devices)
+    _emit("vitb16_finetune_throughput", per_chip, per_trial,
+          baseline=float(os.environ.get("BENCH_FT_BASELINE", "1650")))
+
+
+def bench_eval() -> None:
+    """ViT-B/16 inference forward (uint8 → logits) throughput."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ssl4polyp_tpu.models.factory import get_imagenet_or_random_vit
+    from ssl4polyp_tpu.parallel.mesh import build_mesh
+    from ssl4polyp_tpu.training.classification import make_forward_fn
+
+    mesh = build_mesh()
+    n_devices = len(jax.devices())
+    batch = int(os.environ.get("BENCH_BATCH", "256")) * n_devices
+    classifier = get_imagenet_or_random_vit(
+        jax.random.PRNGKey(0), None, num_classes=2,
+        unroll_blocks=os.environ.get("BENCH_UNROLL", "1") == "1",
+        use_pallas_attention=os.environ.get("BENCH_PALLAS", "1") == "1",
+    )
+    forward = make_forward_fn(classifier, mesh)(classifier.params)
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (batch, 224, 224, 3), dtype=np.uint8)
+    for _ in range(3):
+        logits = forward(images)
+
+    def call(_):
+        return jnp.asarray(forward(images)).sum()
+
+    per_chip, per_trial = _measure(call, images_per_iter=batch, n_devices=n_devices)
+    _emit("vitb16_eval_throughput", per_chip, per_trial,
+          baseline=float(os.environ.get("BENCH_EVAL_BASELINE", "5000")))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -156,26 +300,31 @@ def main() -> None:
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        params, params_c, opt_state, loss = jit_step(
-            params, params_c, opt_state, images, jax.random.fold_in(key, 100 + i), lr
+    # The gate is a median over independent trials, not a single sample —
+    # the axon relay's dispatch jitter is real (~20% under host contention).
+    state = {"p": params, "pc": params_c, "s": opt_state}
+
+    def call(i):
+        state["p"], state["pc"], state["s"], loss = jit_step(
+            state["p"], state["pc"], state["s"], images,
+            jax.random.fold_in(key, 100 + i), lr,
         )
-    float(loss)
+        return loss
+
+    per_chip, per_trial = _measure(
+        call, images_per_iter=batch * steps_per_call, n_devices=n_devices
+    )
     if trace_dir:
         jax.profiler.stop_trace()
-    elapsed = time.perf_counter() - t0
-
-    images_per_sec = batch * steps_per_call * iters / elapsed
-    per_chip = images_per_sec / n_devices
-    print(json.dumps({
-        "metric": "mae_vitb16_pretrain_throughput",
-        "value": round(per_chip, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 3),
-    }))
+    _emit("mae_vitb16_pretrain_throughput", per_chip, per_trial,
+          baseline=BASELINE_IMAGES_PER_SEC)
 
 
 if __name__ == "__main__":
-    main()
+    workload = os.environ.get("BENCH_WORKLOAD", "pretrain")
+    if workload == "finetune":
+        bench_finetune()
+    elif workload == "eval":
+        bench_eval()
+    else:
+        main()
