@@ -205,6 +205,11 @@ def main() -> None:
         cfg,
         encoder=encoder,
         decoder_depth=int(os.environ.get("BENCH_DECODER_DEPTH", cfg.decoder_depth)),
+        decoder_pad_to=(
+            int(os.environ["BENCH_DECODER_PAD"])
+            if "BENCH_DECODER_PAD" in os.environ
+            else cfg.decoder_pad_to
+        ),
     )
     n_devices = len(jax.devices())
     mesh = build_mesh()

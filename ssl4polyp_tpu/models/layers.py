@@ -109,8 +109,15 @@ def layernorm(
     param-grad reduction fusions (see :mod:`ssl4polyp_tpu.ops.layernorm`).
     """
     if fused and x.ndim == 3 and jax.default_backend() != "cpu":
-        from ssl4polyp_tpu.ops.layernorm import layernorm_fused_bwd
+        from ssl4polyp_tpu.ops.layernorm import (
+            layernorm_fused_bwd,
+            layernorm_fused_view,
+        )
 
+        # At large batch XLA lays the stream batch-major; run the kernel on
+        # the layout-matching bitcast view so it pins no relayout copies.
+        if x.shape[0] >= 256:
+            return layernorm_fused_view(x, scale, bias, eps)
         return layernorm_fused_bwd(x, scale, bias, eps)
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
@@ -141,6 +148,7 @@ def attention(
     use_pallas: bool = False,
     softmax_f32: bool = True,
     seq_len: Optional[int] = None,
+    valid_len: Optional[int] = None,
 ) -> jax.Array:
     """Multi-head self-attention with fused QKV.
 
@@ -158,18 +166,33 @@ def attention(
     else:
         B, N, D = x.shape
     head_dim = D // num_heads
-    qkv = linear(x, p["qkv"])  # (B, N, 3D) or (B·N, 3D)
-    qkv = qkv.reshape(B, N, 3 * D)
 
     if use_pallas:
-        # Single-kernel path: head split + softmax + AV stay in VMEM,
-        # consuming the fused-QKV projection output directly.
-        from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_attention
+        # Single-kernel path: head split + softmax + AV stay in VMEM.  The
+        # QKV projection runs as a BARE dot whose bias is added inside the
+        # kernel: XLA then assigns the custom call's required {2,1,0}
+        # layout directly to the dot output, instead of fusing dot+add
+        # batch-major and materialising a physical relayout of the QKV
+        # tensor in front of every kernel call (17.5 ms/step on the MAE
+        # decoder + 4.1 on the encoder at batch 256, measured round 3).
+        # (Other round-3 negative results: flattening the two surrounding
+        # linears to 2-D measured 1557 vs 1653 — XLA copies the reshapes;
+        # padding the decoder to N=200 measured 1646.)
+        from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_bias_attention
 
-        out = fused_qkv_attention(qkv, num_heads, False, softmax_f32)
+        qkv = jnp.dot(
+            x, p["qkv"]["kernel"].astype(x.dtype), preferred_element_type=x.dtype
+        ).reshape(B, N, 3 * D)
+        out = fused_qkv_bias_attention(
+            qkv, p["qkv"]["bias"].astype(x.dtype), num_heads, False,
+            softmax_f32, valid_len,
+        )
         if seq_len is not None:
             out = out.reshape(B * N, D)
         return linear(out, p["proj"])
+
+    qkv = linear(x, p["qkv"])  # (B, N, 3D) or (B·N, 3D)
+    qkv = qkv.reshape(B, N, 3 * D)
 
     qkv = qkv.reshape(B, N, 3, num_heads, head_dim)
     q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, H, hd)
@@ -187,6 +210,9 @@ def attention(
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=score_dtype
     )
+    if valid_len is not None and valid_len < N:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=3)
+        scores = jnp.where(col < valid_len, scores, -jnp.inf)
     weights = jax.nn.softmax(scores * scale, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=x.dtype)
 
@@ -229,6 +255,7 @@ def run_blocks(
     softmax_f32: bool = True,
     fused_ln: Optional[bool] = None,
     flatten_stream: bool = False,
+    valid_len: Optional[int] = None,
 ) -> jax.Array:
     """Apply the stacked pre-norm blocks with ``lax.scan``.
 
@@ -266,6 +293,7 @@ def run_blocks(
         h = h + attention(
             a, layer["attn"], num_heads,
             use_pallas=use_pallas, softmax_f32=softmax_f32, seq_len=seq_len,
+            valid_len=valid_len,
         )
         m = layernorm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], ln_eps,
                       fused=ln_fused)

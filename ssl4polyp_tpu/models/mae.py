@@ -20,7 +20,7 @@ via ``take_along_axis``, and stacked/scanned blocks.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, NamedTuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,12 @@ class MAEConfig:
     decoder_num_heads: int = 16
     mask_ratio: float = 0.75
     norm_pix_loss: bool = False
+    # Pad the decoder token sequence (1+L, e.g. 197 for ViT-B/16) up to this
+    # length before the blocks: a sublane-aligned N can change XLA's layout
+    # decisions around the attention custom calls.  Padding keys are masked
+    # out of the softmax (``valid_len``) and padded rows carry zero upstream
+    # grads, so the computation is exact.  None = no padding.
+    decoder_pad_to: "Optional[int]" = None
 
     @property
     def len_keep(self) -> int:
@@ -174,12 +180,19 @@ def mae_decode(
     body = jnp.take_along_axis(body, ids_restore[:, :, None], axis=1)
     x = jnp.concatenate([x[:, :1, :], body], axis=1)
     x = x + dec["pos_embed"].astype(x.dtype)
+    n_tokens = x.shape[1]
+    pad_to = cfg.decoder_pad_to
+    if pad_to is not None and pad_to > n_tokens:
+        x = jnp.pad(x, ((0, 0), (0, pad_to - n_tokens), (0, 0)))
     x = layers.run_blocks(
         x, dec["blocks"], cfg.decoder_num_heads, ln_eps=enc.ln_eps,
         use_pallas=enc.use_pallas_attention, remat=enc.remat,
         unroll=enc.unroll_blocks, softmax_f32=enc.attention_softmax_f32,
         fused_ln=enc.fused_ln,
+        valid_len=n_tokens if (pad_to is not None and pad_to > n_tokens) else None,
     )
+    if pad_to is not None and pad_to > n_tokens:
+        x = x[:, :n_tokens, :]
     x = layers.layernorm(x, dec["norm"]["scale"], dec["norm"]["bias"],
                          enc.ln_eps, fused=enc.fused_ln)
     x = layers.linear(x, dec["pred"])

@@ -165,3 +165,28 @@ def _bwd(eps, interpret, residuals, dy):
 
 
 layernorm_fused_bwd.defvjp(_fwd, _bwd)
+
+
+def layernorm_fused_view(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused LayerNorm on the batch-major stream's layout-matching view.
+
+    At B ≥ 256 XLA lays (B, N, D) activations out batch-major ({2,0,1});
+    the plain fused kernel pins {2,1,0} and XLA inserts relayout copies
+    around every call (the −4% round-2 result that made fused LN
+    auto-off at large batch).  LayerNorm is row-order-agnostic, so here
+    the kernel runs on ``x.swapaxes(0,1).reshape(B, N, D)`` — a pure
+    BITCAST of the {2,0,1} tensor (rows regrouped, same flat order) whose
+    default layout equals the stream's physical layout — and the result
+    is bitcast back.  No relayouts, same math (per-row stats; the
+    dscale/dbias accumulators span all rows either way).
+    """
+    B, N, D = x.shape
+    x_v = x.swapaxes(0, 1).reshape(B, N, D)
+    y_v = layernorm_fused_bwd(x_v, scale, bias, eps, interpret)
+    return y_v.reshape(N, B, D).swapaxes(0, 1)

@@ -167,7 +167,7 @@ def _rows_per_program(
     return 1
 
 
-def _forward_impl(qkv, num_heads, interpret, softmax_f32):
+def _forward_impl(qkv, num_heads, interpret, softmax_f32, valid_len=None):
     # No explicit sequence padding: Mosaic tiles ragged sublane block shapes
     # itself (masked), which avoids the pad/slice HBM copies an aligned
     # wrapper would add around every block (~1.6 ms/step on the MAE decoder).
@@ -175,6 +175,7 @@ def _forward_impl(qkv, num_heads, interpret, softmax_f32):
     D = threeD // 3
     head_dim = D // num_heads
     scale = 1.0 / math.sqrt(head_dim)
+    n_valid = N if valid_len is None else int(valid_len)
     # Forward gets a slightly larger budget: at (B≥256, N=197, H=16) it
     # buys G=2 (half the programs); the backward's dw/ds temporaries leave
     # no such headroom.
@@ -182,7 +183,7 @@ def _forward_impl(qkv, num_heads, interpret, softmax_f32):
         B, N, num_heads, threeD + D, 1.5, qkv.dtype.itemsize, budget_mb=11
     )
     kernel = functools.partial(
-        _fwd_kernel, n_valid=N, num_heads=num_heads,
+        _fwd_kernel, n_valid=n_valid, num_heads=num_heads,
         head_dim=head_dim, scale=scale, f32=softmax_f32,
     )
     out = pl.pallas_call(
@@ -201,16 +202,17 @@ def _forward_impl(qkv, num_heads, interpret, softmax_f32):
     return out
 
 
-def _backward_impl(qkv, grad_out, num_heads, interpret, softmax_f32):
+def _backward_impl(qkv, grad_out, num_heads, interpret, softmax_f32, valid_len=None):
     B, N, threeD = qkv.shape
     D = threeD // 3
     head_dim = D // num_heads
     scale = 1.0 / math.sqrt(head_dim)
+    n_valid = N if valid_len is None else int(valid_len)
     rows = _rows_per_program(
         B, N, num_heads, 2 * threeD + D, 2.5, qkv.dtype.itemsize
     )
     kernel = functools.partial(
-        _bwd_kernel, n_valid=N, num_heads=num_heads,
+        _bwd_kernel, n_valid=n_valid, num_heads=num_heads,
         head_dim=head_dim, scale=scale, f32=softmax_f32,
     )
     dqkv = pl.pallas_call(
@@ -229,12 +231,13 @@ def _backward_impl(qkv, grad_out, num_heads, interpret, softmax_f32):
     return dqkv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def fused_qkv_attention(
     qkv: jax.Array,
     num_heads: int,
     interpret: bool = False,
     softmax_f32: bool = True,
+    valid_len=None,
 ) -> jax.Array:
     """Attention directly over the fused QKV projection.
 
@@ -244,20 +247,212 @@ def fused_qkv_attention(
             heads contiguous inside each third (the standard fused-QKV
             reshape order).
         num_heads: number of attention heads (D % num_heads == 0).
+        valid_len: when set, keys/queries at positions >= valid_len are
+            sequence padding: their scores are masked out of the softmax
+            (rows beyond valid_len produce garbage outputs the caller
+            slices away; their upstream grads are zero, so they contribute
+            nothing to dQKV of real positions).  Lets callers pad ragged
+            sequence lengths (e.g. 197 -> 200) to sublane multiples.
 
     Returns:
         (B, N, D) attention output (pre output-projection).
     """
-    return _forward_impl(qkv, num_heads, interpret, softmax_f32)
+    return _forward_impl(qkv, num_heads, interpret, softmax_f32, valid_len)
 
 
-def _fwd(qkv, num_heads, interpret, softmax_f32):
-    return _forward_impl(qkv, num_heads, interpret, softmax_f32), (qkv,)
+def _fwd(qkv, num_heads, interpret, softmax_f32, valid_len):
+    return _forward_impl(qkv, num_heads, interpret, softmax_f32, valid_len), (qkv,)
 
 
-def _bwd(num_heads, interpret, softmax_f32, residuals, grad_out):
+def _bwd(num_heads, interpret, softmax_f32, valid_len, residuals, grad_out):
     (qkv,) = residuals
-    return (_backward_impl(qkv, grad_out, num_heads, interpret, softmax_f32),)
+    return (_backward_impl(qkv, grad_out, num_heads, interpret, softmax_f32, valid_len),)
 
 
 fused_qkv_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Bias-in-kernel variant
+# ---------------------------------------------------------------------------
+
+def _fwd_bias_kernel(qkv_ref, bias_ref, out_ref, *, n_valid, num_heads, head_dim,
+                     scale, f32):
+    D = num_heads * head_dim
+    qkv = qkv_ref[:] + bias_ref[:]  # (G, N, 3D) + (1, 1, 3D)
+    q = _split_heads(qkv, 0, num_heads, head_dim)
+    k = _split_heads(qkv, D, num_heads, head_dim)
+    v = _split_heads(qkv, 2 * D, num_heads, head_dim)
+    G, N = qkv_ref.shape[0], qkv_ref.shape[1]
+    weights = _batched_weights(q, k, n_valid, scale, f32)
+    out = jax.lax.dot_general(
+        weights.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype).reshape(num_heads, G, N, head_dim)
+    for h in range(num_heads):
+        out_ref[:, :, h * head_dim:(h + 1) * head_dim] = out[h]
+
+
+def _bwd_bias_kernel(qkv_ref, bias_ref, dout_ref, dqkv_ref, dbias_ref, *,
+                     n_valid, num_heads, head_dim, scale, f32):
+    # Same math as _bwd_kernel on (qkv + bias), plus the bias gradient
+    # accumulated in fp32 across the sequential grid (constant-index output
+    # block, the ops/layernorm.py pattern).
+    D = num_heads * head_dim
+    cdtype = qkv_ref.dtype
+    G, N = qkv_ref.shape[0], qkv_ref.shape[1]
+    qkv = qkv_ref[:] + bias_ref[:]
+    q = _split_heads(qkv, 0, num_heads, head_dim)
+    k = _split_heads(qkv, D, num_heads, head_dim)
+    v = _split_heads(qkv, 2 * D, num_heads, head_dim)
+    dout = _split_heads(dout_ref[:], 0, num_heads, head_dim)
+
+    weights = _batched_weights(q, k, n_valid, scale, f32)
+    w_c = weights.astype(cdtype)
+
+    dv = jax.lax.dot_general(
+        w_c, dout,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dw = jax.lax.dot_general(
+        dout, v,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    tmp = jnp.sum(dw * weights, axis=-1, keepdims=True)
+    ds = (weights * (dw - tmp) * scale).astype(cdtype)
+    dq = jax.lax.dot_general(
+        ds, k,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = jax.lax.dot_general(
+        ds, q,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dq = dq.reshape(num_heads, G, N, head_dim)
+    dk = dk.reshape(num_heads, G, N, head_dim)
+    dv = dv.reshape(num_heads, G, N, head_dim)
+    for h in range(num_heads):
+        lo = h * head_dim
+        dqkv_ref[:, :, lo:lo + head_dim] = dq[h].astype(cdtype)
+        dqkv_ref[:, :, D + lo:D + lo + head_dim] = dk[h].astype(cdtype)
+        dqkv_ref[:, :, 2 * D + lo:2 * D + lo + head_dim] = dv[h].astype(cdtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    dbias_ref[:] += jnp.sum(
+        dqkv_ref[:].astype(jnp.float32), axis=(0, 1), keepdims=True
+    )
+
+
+def _forward_bias_impl(qkv, bias, num_heads, interpret, softmax_f32, valid_len=None):
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    head_dim = D // num_heads
+    scale = 1.0 / math.sqrt(head_dim)
+    n_valid = N if valid_len is None else int(valid_len)
+    rows = _rows_per_program(
+        B, N, num_heads, threeD + D, 1.5, qkv.dtype.itemsize, budget_mb=11
+    )
+    kernel = functools.partial(
+        _fwd_bias_kernel, n_valid=n_valid, num_heads=num_heads,
+        head_dim=head_dim, scale=scale, f32=softmax_f32,
+    )
+    const = lambda i: (0, 0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=_specs(rows, N, threeD, 1)
+        + [pl.BlockSpec((1, 1, threeD), const, memory_space=pltpu.VMEM)],
+        out_specs=_specs(rows, N, D, 1)[0],
+        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * N * N * head_dim,
+            bytes_accessed=2 * B * N * (threeD + D) * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(qkv, bias.reshape(1, 1, threeD))
+    return out
+
+
+def _backward_bias_impl(qkv, bias, grad_out, num_heads, interpret, softmax_f32,
+                        valid_len=None):
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    head_dim = D // num_heads
+    scale = 1.0 / math.sqrt(head_dim)
+    n_valid = N if valid_len is None else int(valid_len)
+    rows = _rows_per_program(
+        B, N, num_heads, 2 * threeD + D, 2.5, qkv.dtype.itemsize
+    )
+    kernel = functools.partial(
+        _bwd_bias_kernel, n_valid=n_valid, num_heads=num_heads,
+        head_dim=head_dim, scale=scale, f32=softmax_f32,
+    )
+    const = lambda i: (0, 0, 0)
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=_specs(rows, N, threeD, 1)
+        + [pl.BlockSpec((1, 1, threeD), const, memory_space=pltpu.VMEM)]
+        + _specs(rows, N, D, 1),
+        out_specs=[
+            _specs(rows, N, threeD, 1)[0],
+            pl.BlockSpec((1, 1, threeD), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, threeD), qkv.dtype),
+            jax.ShapeDtypeStruct((1, 1, threeD), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * num_heads * N * N * head_dim,
+            bytes_accessed=3 * B * N * (threeD + D) * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(qkv, bias.reshape(1, 1, threeD), grad_out)
+    return dqkv, dbias.reshape(threeD)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_qkv_bias_attention(
+    qkv: jax.Array,
+    bias: jax.Array,
+    num_heads: int,
+    interpret: bool = False,
+    softmax_f32: bool = True,
+    valid_len=None,
+) -> jax.Array:
+    """Attention over the BIASLESS QKV projection, adding the bias in VMEM.
+
+    Keeping the bias-add out of the producing dot lets XLA assign the
+    custom call's required {2,1,0} layout directly to the dot output
+    instead of fusing dot+add batch-major and materialising a physical
+    relayout in front of the kernel (measured 17.5 ms/step on the MAE
+    decoder at batch 256, round 3).  ``bias`` is the (3·D,) projection
+    bias; its gradient accumulates in fp32 across the grid.
+    """
+    return _forward_bias_impl(qkv, bias, num_heads, interpret, softmax_f32, valid_len)
+
+
+def _bias_fwd(qkv, bias, num_heads, interpret, softmax_f32, valid_len):
+    out = _forward_bias_impl(qkv, bias, num_heads, interpret, softmax_f32, valid_len)
+    return out, (qkv, bias)
+
+
+def _bias_bwd(num_heads, interpret, softmax_f32, valid_len, residuals, grad_out):
+    qkv, bias = residuals
+    dqkv, dbias = _backward_bias_impl(
+        qkv, bias, grad_out, num_heads, interpret, softmax_f32, valid_len
+    )
+    return dqkv, dbias.astype(bias.dtype)
+
+
+fused_qkv_bias_attention.defvjp(_bias_fwd, _bias_bwd)

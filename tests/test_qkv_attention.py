@@ -71,3 +71,63 @@ def test_flattened_stream_matches_3d():
     np.testing.assert_allclose(
         np.asarray(flat), np.asarray(ref.reshape(B * N, D)), rtol=1e-5, atol=1e-5
     )
+
+
+def test_fused_qkv_attention_valid_len_masking():
+    """valid_len masks padded keys exactly and zeroes pad-row grads
+    (decoder sequence padding, ``models/mae.py::decoder_pad_to``)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_attention
+
+    B, N, D, H, valid = 2, 24, 32, 4, 17
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * D), jnp.float32)
+    out_pad = fused_qkv_attention(qkv, H, True, True, valid)
+    out_ref = fused_qkv_attention(qkv[:, :valid, :], H, True, True, None)
+    np.testing.assert_allclose(
+        np.asarray(out_pad[:, :valid]), np.asarray(out_ref), atol=1e-5
+    )
+    grad_pad = jax.grad(
+        lambda q: (fused_qkv_attention(q, H, True, True, valid)[:, :valid] ** 2).sum()
+    )(qkv)
+    grad_ref = jax.grad(
+        lambda q: (fused_qkv_attention(q, H, True, True, None) ** 2).sum()
+    )(qkv[:, :valid, :])
+    np.testing.assert_allclose(
+        np.asarray(grad_pad[:, :valid]), np.asarray(grad_ref), atol=1e-4
+    )
+    assert float(np.abs(np.asarray(grad_pad[:, valid:])).max()) == 0.0
+
+
+def test_mae_decoder_pad_exact():
+    """decoder_pad_to is numerically inert: same loss/pred/grads as unpadded."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.models import mae
+    from ssl4polyp_tpu.models.vit import ViTConfig
+
+    enc = ViTConfig(
+        img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+        compute_dtype=jnp.float32, pos_embed="sincos", use_pallas_attention=False,
+    )
+    cfg = mae.MAEConfig(
+        encoder=enc, decoder_embed_dim=32, decoder_depth=2, decoder_num_heads=4
+    )
+    cfg_pad = dataclasses.replace(cfg, decoder_pad_to=24)
+    params = mae.init_mae(jax.random.PRNGKey(0), cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    key = jax.random.PRNGKey(2)
+    loss0, pred0, _ = mae.mae_forward(params, images, key, cfg)
+    loss1, pred1, _ = mae.mae_forward(params, images, key, cfg_pad)
+    assert abs(float(loss0) - float(loss1)) < 1e-6
+    np.testing.assert_allclose(np.asarray(pred0), np.asarray(pred1), atol=1e-5)
+    g0 = jax.grad(lambda p: mae.mae_forward(p, images, key, cfg)[0])(params)
+    g1 = jax.grad(lambda p: mae.mae_forward(p, images, key, cfg_pad)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
