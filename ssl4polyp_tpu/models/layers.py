@@ -109,15 +109,14 @@ def layernorm(
     param-grad reduction fusions (see :mod:`ssl4polyp_tpu.ops.layernorm`).
     """
     if fused and x.ndim == 3 and jax.default_backend() != "cpu":
-        from ssl4polyp_tpu.ops.layernorm import (
-            layernorm_fused_bwd,
-            layernorm_fused_view,
-        )
+        from ssl4polyp_tpu.ops.layernorm import layernorm_fused_bwd
 
-        # At large batch XLA lays the stream batch-major; run the kernel on
-        # the layout-matching bitcast view so it pins no relayout copies.
-        if x.shape[0] >= 256:
-            return layernorm_fused_view(x, scale, bias, eps)
+        # (Round-3 negative result: ops/layernorm.py::layernorm_fused_view
+        # runs the kernel on the batch-major stream's bitcast view hoping
+        # to dodge the {2,1,0} layout pin — measured 1543 vs 1676 img/s at
+        # batch 256: XLA materialises the swapaxes/reshape chain as copies
+        # instead of bitcasting it.  Fused LN stays subject to the
+        # batch-aware auto policy in run_blocks.)
         return layernorm_fused_bwd(x, scale, bias, eps)
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
