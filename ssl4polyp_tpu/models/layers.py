@@ -169,14 +169,14 @@ def attention(
     if use_pallas:
         # Single-kernel path: head split + softmax + AV stay in VMEM.  The
         # QKV projection runs as a BARE dot whose bias is added inside the
-        # kernel: XLA then assigns the custom call's required {2,1,0}
-        # layout directly to the dot output, instead of fusing dot+add
-        # batch-major and materialising a physical relayout of the QKV
-        # tensor in front of every kernel call (17.5 ms/step on the MAE
-        # decoder + 4.1 on the encoder at batch 256, measured round 3).
-        # (Other round-3 negative results: flattening the two surrounding
-        # linears to 2-D measured 1557 vs 1653 — XLA copies the reshapes;
-        # padding the decoder to N=200 measured 1646.)
+        # kernel (dbias accumulates fp32 across the grid) — the best
+        # measured variant at batch 256 (1676 vs 1653 img/s baseline).
+        # Round-3 negative results for the record: flattening the two
+        # surrounding linears to 2-D → 1557 (XLA copies the reshapes);
+        # decoder padded to N=200 → 1646; fused-LN on the bitcast view →
+        # 1543; fully-fused projection+attention kernel
+        # (`ops/attention_block.py`) → 1451 — per-block in-kernel dots
+        # lose more MXU efficiency than the QKV relayout they avoid.
         from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_bias_attention
 
         qkv = jnp.dot(

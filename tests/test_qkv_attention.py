@@ -131,3 +131,38 @@ def test_mae_decoder_pad_exact():
     g1 = jax.grad(lambda p: mae.mae_forward(p, images, key, cfg_pad)[0])(params)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fused_qkvproj_attention_parity():
+    """The fully-fused projection+attention kernel matches dot+bias followed
+    by the plain fused kernel, for outputs and all three gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.ops.attention_block import fused_qkvproj_attention
+    from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_attention
+
+    B, N, Din, D, H = 4, 24, 16, 32, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, Din), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (Din, 3 * D), jnp.float32) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (3 * D,), jnp.float32) * 0.05
+
+    out_new = fused_qkvproj_attention(x, w, b, H, True, True, None)
+    out_ref = fused_qkv_attention(jnp.dot(x, w) + b, H, True, True, None)
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_ref), atol=1e-5)
+
+    loss_new = lambda x, w, b: (fused_qkvproj_attention(x, w, b, H, True, True, None) ** 2).sum()
+    loss_ref = lambda x, w, b: (fused_qkv_attention(jnp.dot(x, w) + b, H, True, True, None) ** 2).sum()
+    grads_new = jax.grad(loss_new, argnums=(0, 1, 2))(x, w, b)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(grads_new, grads_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-4, rtol=1e-4)
+
+    # valid_len: padded keys masked, pad rows equal to the truncated call
+    vl = 17
+    out_pad = fused_qkvproj_attention(x, w, b, H, True, True, vl)
+    out_trunc = fused_qkvproj_attention(x[:, :vl], w, b, H, True, True, None)
+    np.testing.assert_allclose(
+        np.asarray(out_pad[:, :vl]), np.asarray(out_trunc), atol=1e-5
+    )
