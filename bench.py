@@ -205,10 +205,10 @@ def main() -> None:
         cfg,
         encoder=encoder,
         decoder_depth=int(os.environ.get("BENCH_DECODER_DEPTH", cfg.decoder_depth)),
+        # Default 200: sublane-aligned N makes the flattened stream's kernel
+        # views bitcasts (no relayout copies); exactness is masked/tested.
         decoder_pad_to=(
-            int(os.environ["BENCH_DECODER_PAD"])
-            if "BENCH_DECODER_PAD" in os.environ
-            else cfg.decoder_pad_to
+            int(os.environ.get("BENCH_DECODER_PAD", "200")) or None
         ),
     )
     n_devices = len(jax.devices())

@@ -253,7 +253,7 @@ def run_blocks(
     unroll: bool = False,
     softmax_f32: bool = True,
     fused_ln: Optional[bool] = None,
-    flatten_stream: bool = False,
+    flatten_stream: Optional[bool] = None,
     valid_len: Optional[int] = None,
 ) -> jax.Array:
     """Apply the stacked pre-norm blocks with ``lax.scan``.
@@ -274,13 +274,20 @@ def run_blocks(
     else:
         ln_fused = fused_ln
 
-    # Optional: run the residual stream FLATTENED as (B·N, D) — a 2-D
-    # stream leaves XLA no 3-D layout freedom, and the kernel's (B, N, 3D)
-    # view of a {1,0} 2-D array is a bitcast.  Measured NET-NEGATIVE at
-    # batch 256 on v5e (1522 vs 1649 img/s: the batch-major layout XLA
-    # picks helps its fusions more than the relayouts around the attention
-    # custom calls cost), so off by default; kept for future shapes.
+    # Run the residual stream FLATTENED as (B·N, D) when the sequence is
+    # sublane-aligned.  A 2-D stream leaves XLA no 3-D layout freedom: every
+    # linear is a plain GEMM, and the kernel's (B, N, 3D) view of a {1,0}
+    # 2-D array is a true bitcast — but ONLY when N % 8 == 0 (the (8, 128)
+    # tiling of the 3-D view's (N, 3D) minor dims must coincide with the
+    # 2-D row tiling).  At N=197 the view is a physical retile and flatten
+    # measured NET-NEGATIVE (1522 vs 1649 img/s, round 2); with the
+    # sequence padded to a sublane multiple (MAEConfig.decoder_pad_to) the
+    # views are free and the batch-major-vs-{2,1,0} relayout copies that
+    # cost ~14% of the MAE step (round-3 trace) vanish by construction.
     batch, seq = x.shape[0], x.shape[1]
+    if flatten_stream is None:
+        dim = x.shape[-1]
+        flatten_stream = seq % 8 == 0 and dim % 128 == 0 and (3 * dim) % 128 == 0
     flatten = flatten_stream and use_pallas
     if flatten:
         x = x.reshape(batch * seq, x.shape[2])

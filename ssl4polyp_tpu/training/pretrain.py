@@ -119,11 +119,20 @@ def model_config(settings: PretrainSettings) -> MAEConfig:
         # the fp32 softmax default for accuracy parity.
         attention_softmax_f32=(compute == jnp.float32),
     )
+    # Pad the decoder sequence to the next sublane multiple (197 → 200 for
+    # ViT-B/16) on accelerators: with N % 8 == 0 the flattened residual
+    # stream's 3-D kernel views are true bitcasts (layers.run_blocks auto
+    # policy), which removes the batch-major relayout copies around the
+    # attention custom calls.  Exactness is tested end to end
+    # (tests/test_qkv_attention.py::test_mae_decoder_pad_exact).
+    n_tokens = base.encoder.num_patches + 1
+    pad_to = -(-n_tokens // 8) * 8 if use_pallas and n_tokens % 8 else None
     return dataclasses.replace(
         base,
         encoder=encoder,
         mask_ratio=settings.mask_ratio,
         norm_pix_loss=settings.norm_pix_loss,
+        decoder_pad_to=pad_to,
     )
 
 
