@@ -133,8 +133,20 @@ def linear(x: jax.Array, p: Params) -> jax.Array:
     return jnp.dot(x, kernel, preferred_element_type=x.dtype) + bias
 
 
-def mlp(x: jax.Array, p: Params) -> jax.Array:
-    """Transformer MLP: fc1 → GELU → fc2 (timm ``Mlp`` semantics, tanh-free erf GELU)."""
+def mlp(x: jax.Array, p: Params, fc1_kernel: bool = False) -> jax.Array:
+    """Transformer MLP: fc1 → GELU → fc2 (timm ``Mlp`` semantics, tanh-free erf GELU).
+
+    With ``fc1_kernel`` (flattened 2-D stream on TPU) the fc1 GEMM + erf
+    epilogue run as one Pallas kernel: XLA's fused dot+erf emitter measures
+    ~2x the kernel's time at the MAE decoder shapes (PERF_NOTES round 3).
+    """
+    if fc1_kernel and x.ndim == 2:
+        from ssl4polyp_tpu.ops.mlp import fc1_gelu, fc1_supported
+
+        w1 = p["fc1"]["kernel"]
+        if fc1_supported(x.shape[0], w1.shape[0], w1.shape[1]):
+            h = fc1_gelu(x, w1.astype(x.dtype), p["fc1"]["bias"].astype(x.dtype))
+            return linear(h, p["fc2"])
     h = linear(x, p["fc1"])
     h = jax.nn.gelu(h, approximate=False)
     return linear(h, p["fc2"])
@@ -167,16 +179,28 @@ def attention(
     head_dim = D // num_heads
 
     if use_pallas:
-        # Single-kernel path: head split + softmax + AV stay in VMEM.  The
-        # QKV projection runs as a BARE dot whose bias is added inside the
-        # kernel (dbias accumulates fp32 across the grid) — the best
-        # measured variant at batch 256 (1676 vs 1653 img/s baseline).
-        # Round-3 negative results for the record: flattening the two
-        # surrounding linears to 2-D → 1557 (XLA copies the reshapes);
-        # decoder padded to N=200 → 1646; fused-LN on the bitcast view →
-        # 1543; fully-fused projection+attention kernel
-        # (`ops/attention_block.py`) → 1451 — per-block in-kernel dots
-        # lose more MXU efficiency than the QKV relayout they avoid.
+        # Single-kernel path: head split + softmax + AV stay in VMEM.
+        # Two sub-variants by stream rank (PERF_NOTES.md round 3):
+        # * 3-D stream: the QKV projection runs as a BARE dot whose bias is
+        #   added inside the kernel (dbias accumulates fp32 across the
+        #   grid).  A dot+add FUSION in front of the layout-pinned custom
+        #   call would make XLA fuse batch-major and pay a physical
+        #   relayout; the bare dot takes the pinned {2,1,0} directly.
+        # * 2-D flattened stream (seq_len set): rank-2 arrays have no
+        #   layout freedom, so the ordinary fused dot+bias is safe and the
+        #   biasless kernel skips the per-slice VMEM bias adds and the
+        #   grid-sequential dbias accumulation in the backward.
+        # Round-3 negative results for the record: flattening only the two
+        # attention linears at N=197 → 1557 (XLA copies the ragged-N
+        # reshapes); fused-LN on the bitcast view → 1543; fully-fused
+        # projection+attention kernel (`ops/attention_block.py`) → 1451.
+        if seq_len is not None:
+            from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_attention
+
+            qkv = linear(x, p["qkv"]).reshape(B, N, 3 * D)
+            out = fused_qkv_attention(qkv, num_heads, False, softmax_f32, valid_len)
+            return linear(out.reshape(B * N, D), p["proj"])
+
         from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_bias_attention
 
         qkv = jnp.dot(
@@ -186,8 +210,6 @@ def attention(
             qkv, p["qkv"]["bias"].astype(x.dtype), num_heads, False,
             softmax_f32, valid_len,
         )
-        if seq_len is not None:
-            out = out.reshape(B * N, D)
         return linear(out, p["proj"])
 
     qkv = linear(x, p["qkv"])  # (B, N, 3D) or (B·N, 3D)
@@ -303,7 +325,7 @@ def run_blocks(
         )
         m = layernorm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], ln_eps,
                       fused=ln_fused)
-        h = h + mlp(m, layer["mlp"])
+        h = h + mlp(m, layer["mlp"], fc1_kernel=flatten)
         return h, None
 
     if remat:

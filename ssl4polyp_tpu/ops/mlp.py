@@ -1,0 +1,143 @@
+"""Pallas fc1+GELU kernel for the transformer MLP's first linear.
+
+Motivation (PERF_NOTES.md round 3): XLA fuses the fc1 GEMM with its exact
+(erf) GELU epilogue into one "EmitAllBatchInSublanes" convolution fusion
+whose own cost model prices it at ~3x the bare-dot ideal — the erf
+polynomial serialises on the VPU behind every MXU window.  This kernel
+computes the same contract — both the pre-activation ``h`` (the backward
+residual XLA also materialises) and ``gelu(h)`` — as a blocked GEMM whose
+erf epilogue the Mosaic VLIW scheduler can overlap with the next block's
+MXU work.
+
+Only the forward is custom: the VJP recomputes nothing and hands the saved
+``h`` to the standard XLA backward dots (reference semantics:
+``timm.Mlp``/``nn.GELU`` exact erf — ``models_mae.py:87-93``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fc1_gelu", "fc1_supported"]
+
+_SQRT_HALF = 1.0 / math.sqrt(2.0)
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 erf (abs err 1.5e-7 — far below bf16
+    resolution), composed from Mosaic-supported ops; Pallas TPU has no
+    native ``erf`` lowering."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _fc1_kernel(x_ref, w_ref, b_ref, h_ref, y_ref):
+    h = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:].astype(jnp.float32)
+    h_ref[:] = h.astype(h_ref.dtype)
+    y = 0.5 * h * (1.0 + _erf(h * _SQRT_HALF))
+    y_ref[:] = y.astype(y_ref.dtype)
+
+
+def _block_sizes(m: int, k: int, nf: int, itemsize: int = 2) -> tuple[int, int]:
+    """Pick (bm, bn) dividing (m, nf) under a ~14 MB double-buffered set.
+
+    bm=512/bn=2048 measured best at the decoder's (51200, 512, 2048)
+    (2.381 vs 2.451 for bn=1024 in the chained harness); preference order
+    reflects that sweep.
+    """
+    for bm in (512, 256, 128, 64, 8):
+        if m % bm:
+            continue
+        for bn in (2048, 1024, 512, 256, 128):
+            if nf % bn:
+                continue
+            vmem = 2 * (bm * k + k * bn + 2 * bm * bn + bn) * itemsize
+            if vmem <= 14 * 1024 * 1024:
+                return bm, bn
+    return 0, 0
+
+
+def fc1_supported(m: int, k: int, nf: int) -> bool:
+    """Whether the kernel's grid tiles these dimensions."""
+    return _block_sizes(m, k, nf) != (0, 0)
+
+
+def _forward(x, w, b, interpret=False):
+    m, k = x.shape
+    nf = w.shape[1]
+    bm, bn = _block_sizes(m, k, nf)
+    return pl.pallas_call(
+        _fc1_kernel,
+        grid=(m // bm, nf // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, nf), x.dtype),
+            jax.ShapeDtypeStruct((m, nf), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * nf,
+            bytes_accessed=(m * k + k * nf + 2 * m * nf) * x.dtype.itemsize,
+            transcendentals=m * nf,
+        ),
+        interpret=interpret,
+    )(x, w, b.reshape(1, nf))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fc1_gelu(x: jax.Array, w: jax.Array, b: jax.Array, interpret: bool = False) -> jax.Array:
+    """``gelu(x @ w + b)`` (exact erf GELU) for 2-D ``x``.
+
+    Usable when the row and feature counts tile the TPU grid
+    (``_block_sizes`` finds divisors); callers fall back to the XLA path
+    otherwise.  Gradients match ``jax.nn.gelu(approximate=False)``.
+    """
+    _, y = _forward(x, w, b, interpret)
+    return y
+
+
+def _fwd(x, w, b, interpret=False):
+    h, y = _forward(x, w, b, interpret)
+    return y, (x, w, h)
+
+
+def _bwd(interpret, residuals, dy):
+    x, w, h = residuals
+    h32 = h.astype(jnp.float32)
+    # d/dh gelu(h) = Phi(h) + h phi(h)
+    phi = jnp.exp(-0.5 * h32 * h32) * (1.0 / math.sqrt(2.0 * math.pi))
+    dgelu = 0.5 * (1.0 + jax.lax.erf(h32 * _SQRT_HALF)) + h32 * phi
+    dh = (dy.astype(jnp.float32) * dgelu).astype(dy.dtype)
+    dx = jnp.dot(dh, w.T.astype(dh.dtype), preferred_element_type=dh.dtype)
+    dw = jax.lax.dot_general(
+        x, dh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w.dtype)
+    db = jnp.sum(dh.astype(jnp.float32), axis=0).astype(dh.dtype)
+    return dx, dw, db
+
+
+fc1_gelu.defvjp(_fwd, _bwd)

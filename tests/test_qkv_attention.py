@@ -166,3 +166,31 @@ def test_fused_qkvproj_attention_parity():
     np.testing.assert_allclose(
         np.asarray(out_pad[:, :vl]), np.asarray(out_trunc), atol=1e-5
     )
+
+
+def test_fc1_gelu_kernel_parity():
+    """ops/mlp.py::fc1_gelu matches dot+bias+erf-GELU for values and all
+    three gradients (interpret mode; the A&S erf polynomial is well inside
+    bf16 tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.ops.mlp import fc1_gelu
+
+    M, K, NF = 16, 32, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (M, K), jnp.float32) * 0.5
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, NF), jnp.float32) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (NF,), jnp.float32) * 0.05
+
+    def ref(x, w, b):
+        return jax.nn.gelu(jnp.dot(x, w) + b, approximate=False)
+
+    out = fc1_gelu(x, w, b, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(x, w, b)),
+                               rtol=1e-5, atol=1e-5)
+
+    g_new = jax.grad(lambda *a: (fc1_gelu(*a, True) ** 2).sum(), argnums=(0, 1, 2))(x, w, b)
+    g_ref = jax.grad(lambda *a: (ref(*a) ** 2).sum(), argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-4)
