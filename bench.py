@@ -30,14 +30,37 @@ os.environ.setdefault(
 
 BASELINE_IMAGES_PER_SEC = 1650.0  # 2x A100 estimate (north-star target)
 
+# The measured-best operating point (PERF_NOTES.md round 3: 1761 img/s/chip
+# at 1.067x).  These are the env-knob defaults; tests/test_bench_config.py
+# pins them so a drive-by default change can't silently flip the driver's
+# perf gate — change them only WITH a fresh measurement logged in
+# PERF_NOTES.md, and update the test in the same commit.
+DEFAULTS = {
+    "BENCH_BATCH": "256",            # 320/384/512 all measured slower
+    "BENCH_STEPS_PER_CALL": "16",    # 8 measured slower (1673)
+    "BENCH_PALLAS": "1",             # XLA attention is -40% (1065)
+    "BENCH_UNROLL": "1",             # scan is ~25% slower at runtime
+    "BENCH_REMAT": "0",
+    "BENCH_F32_SOFTMAX": "0",
+    "BENCH_DECODER_PAD": "200",      # sublane-aligned flattened stream
+    "BENCH_ENCODER_PAD": "0",        # 56 measured slower (1748)
+    "BENCH_VIT_PAD": "1",            # finetune +5.2% (1192 vs 1133)
+    "BENCH_ITERS": "10",
+    "BENCH_TRIALS": "3",
+}
+
+
+def _env(name: str) -> str:
+    return os.environ.get(name, DEFAULTS[name])
+
 
 def _measure(jit_call, *, images_per_iter: int, n_devices: int):
     """(median img/s/chip, per-trial list): trials × iters dispatches with a
     forced readback per trial (the relay treats block_until_ready loosely)."""
     import numpy as np
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    iters = int(_env("BENCH_ITERS"))
+    trials = int(_env("BENCH_TRIALS"))
     per_trial = []
     step = 0
     for _ in range(trials):
@@ -83,11 +106,15 @@ def bench_finetune() -> None:
 
     mesh = build_mesh()
     n_devices = len(jax.devices())
-    batch = int(os.environ.get("BENCH_BATCH", "128")) * n_devices
+    batch = int(_env("BENCH_BATCH")) * n_devices
     classifier = get_imagenet_or_random_vit(
         jax.random.PRNGKey(0), None, num_classes=2,
-        unroll_blocks=os.environ.get("BENCH_UNROLL", "1") == "1",
-        use_pallas_attention=os.environ.get("BENCH_PALLAS", "1") == "1",
+        unroll_blocks=_env("BENCH_UNROLL") == "1",
+        use_pallas_attention=_env("BENCH_PALLAS") == "1",
+        # BENCH_VIT_PAD=0 opts out of the factory's sublane padding (A/B).
+        pad_tokens_to=(
+            None if _env("BENCH_VIT_PAD") == "1" else 0
+        ),
     )
     cfg = classifier.cfg
     params = classifier.params
@@ -143,32 +170,57 @@ def bench_finetune() -> None:
 
 
 def bench_eval() -> None:
-    """ViT-B/16 inference forward (uint8 → logits) throughput."""
+    """ViT-B/16 inference forward (uint8 → logits) device throughput.
+
+    Images are staged onto the mesh once: the engine's ``make_forward_fn``
+    includes per-batch host↔device staging, which on this container goes
+    through the axon relay (~40 MB at <1 MB/s readback) and measures the
+    transport, not the chip — on a real TPU-VM the loader overlaps that
+    PCIe copy with compute."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from ssl4polyp_tpu.data.augment import normalize_batch
     from ssl4polyp_tpu.models.factory import get_imagenet_or_random_vit
+    from ssl4polyp_tpu.models.layers import cast_params_for_compute
     from ssl4polyp_tpu.parallel.mesh import build_mesh
-    from ssl4polyp_tpu.training.classification import make_forward_fn
 
     mesh = build_mesh()
     n_devices = len(jax.devices())
-    batch = int(os.environ.get("BENCH_BATCH", "256")) * n_devices
+    batch = int(_env("BENCH_BATCH")) * n_devices
     classifier = get_imagenet_or_random_vit(
         jax.random.PRNGKey(0), None, num_classes=2,
-        unroll_blocks=os.environ.get("BENCH_UNROLL", "1") == "1",
-        use_pallas_attention=os.environ.get("BENCH_PALLAS", "1") == "1",
+        unroll_blocks=_env("BENCH_UNROLL") == "1",
+        use_pallas_attention=_env("BENCH_PALLAS") == "1",
+        pad_tokens_to=(
+            None if _env("BENCH_VIT_PAD") == "1" else 0
+        ),
     )
-    forward = make_forward_fn(classifier, mesh)(classifier.params)
+    cfg = classifier.cfg
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def forward(params, images_u8):
+        images = normalize_batch(images_u8, dtype=cfg.compute_dtype)
+        logits = classifier.apply(params, images).astype(jnp.float32)
+        return logits.sum()  # scalar readback only
+
+    params = jax.device_put(
+        cast_params_for_compute(classifier.params, cfg.compute_dtype), replicated
+    )
     rng = np.random.default_rng(0)
-    images = rng.integers(0, 255, (batch, 224, 224, 3), dtype=np.uint8)
+    images = jax.device_put(
+        rng.integers(0, 255, (batch, 224, 224, 3), dtype=np.uint8), sharded
+    )
     for _ in range(3):
-        logits = forward(images)
+        out = forward(params, images)
+    float(out)
 
     def call(_):
-        return jnp.asarray(forward(images)).sum()
+        return forward(params, images)
 
     per_chip, per_trial = _measure(call, images_per_iter=batch, n_devices=n_devices)
     _emit("vitb16_eval_throughput", per_chip, per_trial,
@@ -192,10 +244,10 @@ def main() -> None:
     cfg = MAE_VIT_B16
     encoder = dataclasses.replace(
         cfg.encoder,
-        remat=os.environ.get("BENCH_REMAT", "0") == "1",
-        use_pallas_attention=os.environ.get("BENCH_PALLAS", "1") == "1",
-        unroll_blocks=os.environ.get("BENCH_UNROLL", "1") == "1",
-        attention_softmax_f32=os.environ.get("BENCH_F32_SOFTMAX", "0") == "1",
+        remat=_env("BENCH_REMAT") == "1",
+        use_pallas_attention=_env("BENCH_PALLAS") == "1",
+        unroll_blocks=_env("BENCH_UNROLL") == "1",
+        attention_softmax_f32=_env("BENCH_F32_SOFTMAX") == "1",
         fused_layernorm=(
             None if "BENCH_FUSED_LN" not in os.environ
             else os.environ["BENCH_FUSED_LN"] == "1"
@@ -208,7 +260,10 @@ def main() -> None:
         # Default 200: sublane-aligned N makes the flattened stream's kernel
         # views bitcasts (no relayout copies); exactness is masked/tested.
         decoder_pad_to=(
-            int(os.environ.get("BENCH_DECODER_PAD", "200")) or None
+            int(_env("BENCH_DECODER_PAD")) or None
+        ),
+        encoder_pad_to=(
+            int(_env("BENCH_ENCODER_PAD")) or None
         ),
     )
     n_devices = len(jax.devices())
@@ -217,7 +272,7 @@ def main() -> None:
     # effective-4096 recipe (256 × 16 chips; MAE uses accum_iter to reach
     # 4096 regardless of world size) and amortises the fixed AdamW +
     # dispatch cost over 4x the images of the per-GPU-64 layout.
-    batch = int(os.environ.get("BENCH_BATCH", "256")) * n_devices
+    batch = int(_env("BENCH_BATCH")) * n_devices
 
     params = init_mae(jax.random.PRNGKey(0), cfg)
     opt_state = optim.adamw_init(params)
@@ -231,7 +286,7 @@ def main() -> None:
         loss, _, _ = mae_forward(p_c, images, key, cfg)
         return loss
 
-    steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", "16"))
+    steps_per_call = int(_env("BENCH_STEPS_PER_CALL"))
 
     # The compute-dtype parameter copy is carried through the step: the
     # cast of the UPDATED params fuses into the AdamW write (one pass),

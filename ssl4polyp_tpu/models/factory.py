@@ -16,7 +16,7 @@ config and a jittable ``apply`` function.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -99,7 +99,16 @@ def _vit_b(num_classes: Optional[int], out_token: str, pos_embed: str, **overrid
     # scheme defaults, including pos_embed/out_token.
     kwargs.update(overrides)
     kwargs.setdefault("num_classes", num_classes)
-    return ViTConfig(**kwargs)
+    cfg = ViTConfig(**kwargs)
+    # Sublane-align the token sequence when the Pallas kernels are on so
+    # the flattened-stream bitcast condition holds (197 → 200 for B/16;
+    # masked and numerically exact — see layers.run_blocks).  Explicit
+    # pad_tokens_to=0 opts out.
+    if cfg.use_pallas_attention and cfg.pad_tokens_to is None:
+        n_tokens = cfg.num_patches + 1
+        if n_tokens % 8:
+            cfg = replace(cfg, pad_tokens_to=-(-n_tokens // 8) * 8)
+    return cfg
 
 
 def get_mae_backbone(

@@ -108,16 +108,23 @@ def layernorm(
     runs as a single Pallas kernel per layer instead of XLA's scattered
     param-grad reduction fusions (see :mod:`ssl4polyp_tpu.ops.layernorm`).
     """
-    if fused and x.ndim == 3 and jax.default_backend() != "cpu":
-        from ssl4polyp_tpu.ops.layernorm import layernorm_fused_bwd
+    if fused and x.ndim in (2, 3) and jax.default_backend() != "cpu":
+        from ssl4polyp_tpu.ops.layernorm import (
+            layernorm2d_supported,
+            layernorm_fused_bwd,
+        )
 
         # (Round-3 negative result: ops/layernorm.py::layernorm_fused_view
         # runs the kernel on the batch-major stream's bitcast view hoping
         # to dodge the {2,1,0} layout pin — measured 1543 vs 1676 img/s at
         # batch 256: XLA materialises the swapaxes/reshape chain as copies
         # instead of bitcasting it.  Fused LN stays subject to the
-        # batch-aware auto policy in run_blocks.)
-        return layernorm_fused_bwd(x, scale, bias, eps)
+        # batch-aware auto policy in run_blocks; the 2-D kernels on the
+        # FLATTENED stream have no layout pin to fight.)
+        if x.ndim == 3 or layernorm2d_supported(
+            x.shape[0], x.shape[1], x.dtype.itemsize
+        ):
+            return layernorm_fused_bwd(x, scale, bias, eps)
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -286,16 +293,6 @@ def run_blocks(
     longer compiles, but XLA can fuse and schedule across block boundaries.
     """
 
-    # Auto policy (fused_ln=None): the Pallas LN kernels win at small
-    # batches (+1% at B=64: XLA's fp32 LN reductions round-trip HBM) but
-    # lose at large ones (−4% at B=256: XLA flips the residual stream to a
-    # batch-major {2,0,1} layout and every custom call pins {2,1,0},
-    # inserting relayout copies).  Measured on v5e, PERF_NOTES.md round 2.
-    if fused_ln is None:
-        ln_fused = use_pallas and x.shape[0] < 256
-    else:
-        ln_fused = fused_ln
-
     # Run the residual stream FLATTENED as (B·N, D) when the sequence is
     # sublane-aligned.  A 2-D stream leaves XLA no 3-D layout freedom: every
     # linear is a plain GEMM, and the kernel's (B, N, 3D) view of a {1,0}
@@ -304,8 +301,8 @@ def run_blocks(
     # 2-D row tiling).  At N=197 the view is a physical retile and flatten
     # measured NET-NEGATIVE (1522 vs 1649 img/s, round 2); with the
     # sequence padded to a sublane multiple (MAEConfig.decoder_pad_to) the
-    # views are free and the batch-major-vs-{2,1,0} relayout copies that
-    # cost ~14% of the MAE step (round-3 trace) vanish by construction.
+    # views are free and the batch-major-vs-{2,1,0} relayout copies around
+    # the attention custom calls vanish by construction.
     batch, seq = x.shape[0], x.shape[1]
     if flatten_stream is None:
         dim = x.shape[-1]
@@ -314,6 +311,19 @@ def run_blocks(
     if flatten:
         x = x.reshape(batch * seq, x.shape[2])
     seq_len = seq if flatten else None
+
+    # Auto policy (fused_ln=None): the Pallas LN kernels win at small
+    # batches (+1% at B=64: XLA's fp32 LN reductions round-trip HBM) but
+    # lose at large 3-D ones (−4% at B=256: XLA flips the residual stream
+    # to a batch-major {2,0,1} layout and every custom call pins {2,1,0},
+    # inserting relayout copies).  On the FLATTENED 2-D stream the pins are
+    # moot, but XLA's rank-2 LN fusions are already near-bandwidth and the
+    # 2-D kernels measured 1756.6 vs 1761.1 img/s — so auto keeps them OFF
+    # there too (available via fused_layernorm=True).  v5e, PERF_NOTES.
+    if fused_ln is None:
+        ln_fused = use_pallas and not flatten and x.shape[0] < 256
+    else:
+        ln_fused = fused_ln
 
     def body(h, layer):
         a = layernorm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], ln_eps,

@@ -41,11 +41,16 @@ class MAEConfig:
     mask_ratio: float = 0.75
     norm_pix_loss: bool = False
     # Pad the decoder token sequence (1+L, e.g. 197 for ViT-B/16) up to this
-    # length before the blocks: a sublane-aligned N can change XLA's layout
-    # decisions around the attention custom calls.  Padding keys are masked
-    # out of the softmax (``valid_len``) and padded rows carry zero upstream
-    # grads, so the computation is exact.  None = no padding.
+    # length before the blocks: with N % 8 == 0 the flattened residual
+    # stream's kernel views are bitcasts (layers.run_blocks auto-flatten).
+    # Padding keys are masked out of the softmax (``valid_len``) and padded
+    # rows carry zero upstream grads, so the computation is exact.
+    # None = no padding.
     decoder_pad_to: "Optional[int]" = None
+    # Same for the encoder's kept-token sequence (1+len_keep, e.g. 50 for
+    # ViT-B/16 at mask_ratio 0.75 → pad to 56).  Trades +12% encoder-block
+    # FLOPs for the flattened-stream kernels; masked, numerically exact.
+    encoder_pad_to: "Optional[int]" = None
 
     @property
     def len_keep(self) -> int:
@@ -149,12 +154,20 @@ def mae_encode(
     cls = params["cls_token"].astype(x.dtype) + pos[:, :1, :]
     cls = jnp.broadcast_to(cls, (x.shape[0], 1, enc.embed_dim))
     h = jnp.concatenate([cls, kept], axis=1)
+    n_tokens = h.shape[1]
+    pad_to = cfg.encoder_pad_to
+    padded = pad_to is not None and pad_to > n_tokens
+    if padded:
+        h = jnp.pad(h, ((0, 0), (0, pad_to - n_tokens), (0, 0)))
     h = layers.run_blocks(
         h, params["blocks"], enc.num_heads, ln_eps=enc.ln_eps,
         use_pallas=enc.use_pallas_attention, remat=enc.remat,
         unroll=enc.unroll_blocks, softmax_f32=enc.attention_softmax_f32,
         fused_ln=enc.fused_ln,
+        valid_len=n_tokens if padded else None,
     )
+    if padded:
+        h = h[:, :n_tokens, :]
     h = layers.layernorm(h, params["norm"]["scale"], params["norm"]["bias"],
                          enc.ln_eps, fused=enc.fused_ln)
     return h, mask, ids_restore

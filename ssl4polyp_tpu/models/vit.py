@@ -50,6 +50,13 @@ class ViTConfig:
     remat: bool = False
     unroll_blocks: bool = False
     attention_softmax_f32: bool = True
+    # Pad the token sequence (1+N, 197 for ViT-B/16) to this length through
+    # the blocks: with N % 8 == 0 the flattened residual stream's kernel
+    # views are bitcasts (layers.run_blocks auto-flatten) — the same
+    # masked, numerically-exact padding as MAEConfig.decoder_pad_to.
+    # None → the factory picks the next sublane multiple when the Pallas
+    # kernels are on; 0 → explicitly off.
+    pad_tokens_to: Optional[int] = None
 
     @property
     def fused_ln(self) -> Optional[bool]:
@@ -115,6 +122,11 @@ def vit_features(params: Params, images: jax.Array, cfg: ViTConfig = VIT_B16) ->
     cls = (params["cls_token"].astype(cfg.compute_dtype) + pos[:, :1, :])
     cls = jnp.broadcast_to(cls, (x.shape[0], 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)
+    n_tokens = x.shape[1]
+    pad_to = cfg.pad_tokens_to
+    padded = bool(pad_to) and pad_to > n_tokens
+    if padded:
+        x = jnp.pad(x, ((0, 0), (0, pad_to - n_tokens), (0, 0)))
     x = layers.run_blocks(
         x,
         params["blocks"],
@@ -125,7 +137,10 @@ def vit_features(params: Params, images: jax.Array, cfg: ViTConfig = VIT_B16) ->
         unroll=cfg.unroll_blocks,
         softmax_f32=cfg.attention_softmax_f32,
         fused_ln=cfg.fused_ln,
+        valid_len=n_tokens if padded else None,
     )
+    if padded:
+        x = x[:, :n_tokens, :]
     return layers.layernorm(x, params["norm"]["scale"], params["norm"]["bias"],
                             cfg.ln_eps, fused=cfg.fused_ln)
 

@@ -106,6 +106,119 @@ def _rows_per_program(B: int, N: int, D: int, itemsize: int) -> int:
     return 1
 
 
+# ---------------------------------------------------------------------------
+# 2-D variants: the flattened (B·N, D) residual stream (layers.run_blocks
+# auto-flatten).  Rank-2 arrays have no layout freedom, so the round-2
+# objection to fused LN at large batch — {2,1,0} pins vs the batch-major
+# stream — does not exist here.
+# ---------------------------------------------------------------------------
+
+def _fwd2_kernel(x_ref, scale_ref, bias_ref, y_ref, *, eps):
+    x = x_ref[:].astype(jnp.float32)        # (R, D)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    y_ref[:] = y.astype(y_ref.dtype)
+
+
+def _bwd2_kernel(x_ref, dy_ref, scale_ref, dx_ref, dscale_ref, dbias_ref, *, eps):
+    x = x_ref[:].astype(jnp.float32)        # (R, D)
+    dy = dy_ref[:].astype(jnp.float32)
+    scale = scale_ref[:].astype(jnp.float32)  # (1, D)
+
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+
+    dxhat = dy * scale
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    dscale_ref[:] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbias_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _rows2_per_program(M: int, D: int, itemsize: int) -> int:
+    for r in (1024, 512, 256, 128, 64, 8):
+        if M % r:
+            continue
+        io = 2 * 3 * r * D * itemsize
+        f32_temps = 4 * r * D * 4
+        if io + f32_temps < 12 * 1024 * 1024:
+            return r
+    return 0
+
+
+def _fwd2_impl(x, scale, bias, eps, interpret):
+    M, D = x.shape
+    rows = _rows2_per_program(M, D, x.dtype.itemsize)
+    const = lambda i: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_fwd2_kernel, eps=eps),
+        grid=(M // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * M * D,
+            bytes_accessed=2 * M * D * x.dtype.itemsize,
+            transcendentals=M,
+        ),
+        interpret=interpret,
+    )(x, scale.reshape(1, D), bias.reshape(1, D))
+
+
+def _bwd2_impl(x, dy, scale, eps, interpret):
+    M, D = x.shape
+    rows = _rows2_per_program(M, D, x.dtype.itemsize)
+    const = lambda i: (0, 0)
+    dx, dscale, dbias = pl.pallas_call(
+        functools.partial(_bwd2_kernel, eps=eps),
+        grid=(M // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, D), x.dtype),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=14 * M * D,
+            bytes_accessed=3 * M * D * x.dtype.itemsize,
+            transcendentals=M,
+        ),
+        interpret=interpret,
+    )(x, dy, scale.reshape(1, D))
+    return dx, dscale.reshape(D), dbias.reshape(D)
+
+
+def layernorm2d_supported(M: int, D: int, itemsize: int = 2) -> bool:
+    return _rows2_per_program(M, D, itemsize) > 0
+
+
 def _bwd_impl(x, dy, scale, eps, interpret):
     B, N, D = x.shape
     rows = _rows_per_program(B, N, D, x.dtype.itemsize)
@@ -146,21 +259,27 @@ def layernorm_fused_bwd(
     eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:
-    """LayerNorm over the last axis of a (B, N, D) activation.
+    """LayerNorm over the last axis of a (B, N, D) or flattened (M, D)
+    activation.
 
     Both directions are single fused Pallas kernels; ``scale``/``bias`` are
     (D,) fp32 params.
     """
+    if x.ndim == 2:
+        return _fwd2_impl(x, scale, bias, eps, interpret)
     return _fwd_impl(x, scale, bias, eps, interpret)
 
 
 def _fwd(x, scale, bias, eps, interpret):
+    if x.ndim == 2:
+        return _fwd2_impl(x, scale, bias, eps, interpret), (x, scale)
     return _fwd_impl(x, scale, bias, eps, interpret), (x, scale)
 
 
 def _bwd(eps, interpret, residuals, dy):
     x, scale = residuals
-    dx, dscale, dbias = _bwd_impl(x, dy, scale, eps, interpret)
+    impl = _bwd2_impl if x.ndim == 2 else _bwd_impl
+    dx, dscale, dbias = impl(x, dy, scale, eps, interpret)
     return dx, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
 
 

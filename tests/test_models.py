@@ -360,3 +360,32 @@ def test_ssl_colon_flow_native_checkpoint(tmp_path, rng_key):
     logits = classifier.apply(classifier.params, jnp.ones((2, 32, 32, 3)))
     assert logits.shape == (2, 2)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_vit_pad_tokens_exact():
+    """ViTConfig.pad_tokens_to is numerically inert: identical features,
+    logits, and parameter grads (the classification analog of the MAE
+    decoder-pad exactness test)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.models import layers, vit
+
+    cfg = vit.ViTConfig(
+        img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+        compute_dtype=jnp.float32, pos_embed="learned", num_classes=3,
+    )
+    cfg_pad = dataclasses.replace(cfg, pad_tokens_to=24)  # 17 -> 24 tokens
+    params = vit.init_vit(jax.random.PRNGKey(0), cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    out0 = vit.vit_forward(params, images, cfg)
+    out1 = vit.vit_forward(params, images, cfg_pad)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-5)
+    loss = lambda p, c: jnp.sum(jnp.square(vit.vit_forward(p, images, c)))
+    g0 = jax.grad(loss)(params, cfg)
+    g1 = jax.grad(loss)(params, cfg_pad)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

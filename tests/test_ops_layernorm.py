@@ -8,12 +8,22 @@ import numpy as np
 import pytest
 
 from ssl4polyp_tpu.models.layers import layernorm
-from ssl4polyp_tpu.ops.layernorm import layernorm_fused_bwd
+from ssl4polyp_tpu.ops.layernorm import layernorm2d_supported, layernorm_fused_bwd
+
+
+def test_layernorm2d_supported_guard():
+    # The 2-D kernels require a sublane-multiple row count (the flattened
+    # stream guarantees it); layers.layernorm falls back to XLA otherwise.
+    assert layernorm2d_supported(2048, 256)
+    assert not layernorm2d_supported(788, 512)  # 4·197 — unpadded flatten
 
 
 @pytest.mark.parametrize("shape,dtype", [
     ((4, 197, 512), jnp.float32),
     ((8, 50, 768), jnp.bfloat16),
+    # Flattened (B·N, D) residual-stream variants (the 2-D kernels).
+    ((512, 256), jnp.float32),
+    ((1600, 768), jnp.bfloat16),
 ])
 def test_fused_layernorm_matches_autodiff(shape, dtype):
     rng = np.random.default_rng(0)
@@ -45,14 +55,16 @@ def test_fused_layernorm_matches_autodiff(shape, dtype):
     np.testing.assert_allclose(np.asarray(db_f), np.asarray(db_r), atol=1e-3, rtol=1e-3)
 
 
-def test_fused_layernorm_grid_accumulation():
-    # More than one grid program: dscale/dbias must accumulate across
-    # programs, matching a single-program reference.
+@pytest.mark.parametrize("shape", [(16, 8, 256), (2048, 256)])
+def test_fused_layernorm_grid_accumulation(shape):
+    # More than one grid program (2048 rows → 4 programs in the 2-D case):
+    # dscale/dbias must accumulate across programs, matching a
+    # single-program reference.
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.standard_normal((16, 8, 256)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
     scale = jnp.ones((256,), jnp.float32)
     bias = jnp.zeros((256,), jnp.float32)
-    dy = jnp.asarray(rng.standard_normal((16, 8, 256)), jnp.float32)
+    dy = jnp.asarray(rng.standard_normal(shape), jnp.float32)
 
     fused = functools.partial(layernorm_fused_bwd, eps=1e-6, interpret=True)
     _, vjp_fused = jax.vjp(fused, x, scale, bias)

@@ -119,7 +119,7 @@ def test_mae_decoder_pad_exact():
     cfg = mae.MAEConfig(
         encoder=enc, decoder_embed_dim=32, decoder_depth=2, decoder_num_heads=4
     )
-    cfg_pad = dataclasses.replace(cfg, decoder_pad_to=24)
+    cfg_pad = dataclasses.replace(cfg, decoder_pad_to=24, encoder_pad_to=8)
     params = mae.init_mae(jax.random.PRNGKey(0), cfg)
     images = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
     key = jax.random.PRNGKey(2)
@@ -194,3 +194,35 @@ def test_fc1_gelu_kernel_parity():
     g_ref = jax.grad(lambda *a: (ref(*a) ** 2).sum(), argnums=(0, 1, 2))(x, w, b)
     for a, c in zip(g_new, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-4)
+
+
+def test_gelu_polynomial_accuracy():
+    """The clip-tailed Chebyshev erf in ops/mlp.py stays within its stated
+    error bounds over the whole real line (incl. far past the fit domain):
+    max |gelu err| ≤ 2.5e-6, max |dgelu err| ≤ 5e-7 in fp64-referenced fp32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.ops.mlp import _SQRT_HALF, _erf_sqrt_half
+
+    h64 = np.concatenate([
+        np.linspace(-40.0, 40.0, 200_001),
+        np.linspace(-6.0, 6.0, 200_001),
+    ])
+    h = jnp.asarray(h64, jnp.float32)
+    erf_poly = np.asarray(_erf_sqrt_half(h), np.float64)
+
+    from scipy.special import erf as erf64
+    erf_true = erf64(h64 * float(_SQRT_HALF))
+
+    gelu_err = 0.5 * np.abs(h64) * np.abs(erf_poly - erf_true)
+    assert gelu_err.max() < 2.5e-6, gelu_err.max()
+
+    # dgelu = Phi(h) + h·phi(h); only Phi uses the polynomial.
+    dgelu_err = 0.5 * np.abs(erf_poly - erf_true)
+    assert dgelu_err.max() < 5e-7, dgelu_err.max()
+
+    # Tail behaviour: saturates exactly at ±1 (clip), never overshoots.
+    assert np.all(np.abs(erf_poly) <= 1.0)
+    assert erf_poly[0] == -1.0 and erf_poly[200_000] == 1.0
