@@ -45,6 +45,7 @@ DEFAULTS = {
     "BENCH_DECODER_PAD": "200",      # sublane-aligned flattened stream
     "BENCH_ENCODER_PAD": "0",        # 56 measured slower (1748)
     "BENCH_VIT_PAD": "1",            # finetune +5.2% (1192 vs 1133)
+    "BENCH_MLP": "fc1",              # "full" = one-kernel MLP (A/B candidate)
     "BENCH_ITERS": "10",
     "BENCH_TRIALS": "3",
 }
@@ -252,6 +253,7 @@ def main() -> None:
             None if "BENCH_FUSED_LN" not in os.environ
             else os.environ["BENCH_FUSED_LN"] == "1"
         ),
+        mlp_fusion=_env("BENCH_MLP"),
     )
     cfg = dataclasses.replace(
         cfg,

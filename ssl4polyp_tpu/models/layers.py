@@ -140,18 +140,37 @@ def linear(x: jax.Array, p: Params) -> jax.Array:
     return jnp.dot(x, kernel, preferred_element_type=x.dtype) + bias
 
 
-def mlp(x: jax.Array, p: Params, fc1_kernel: bool = False) -> jax.Array:
+def mlp(x: jax.Array, p: Params, kernel: str = "off") -> jax.Array:
     """Transformer MLP: fc1 → GELU → fc2 (timm ``Mlp`` semantics, tanh-free erf GELU).
 
-    With ``fc1_kernel`` (flattened 2-D stream on TPU) the fc1 GEMM + erf
-    epilogue run as one Pallas kernel: XLA's fused dot+erf emitter measures
-    ~2x the kernel's time at the MAE decoder shapes (PERF_NOTES round 3).
+    ``kernel`` (flattened 2-D stream on TPU only):
+
+    * ``"fc1"`` — the fc1 GEMM + erf epilogue run as one Pallas kernel: XLA's
+      fused dot+erf emitter measures ~2x the kernel's time at the MAE decoder
+      shapes (PERF_NOTES round 3); fc2 stays an XLA GEMM.
+    * ``"full"`` — fc1 + GELU + fc2 in ONE kernel: gelu(h) never leaves VMEM
+      (saves ~420 MB/block of HBM traffic at the decoder shapes).
+    * ``"off"`` — plain XLA dots (always the path for 3-D streams / CPU).
+
+    Unsupported tilings fall back one level (full → fc1 → off).
     """
-    if fc1_kernel and x.ndim == 2:
-        from ssl4polyp_tpu.ops.mlp import fc1_gelu, fc1_supported
+    if kernel != "off" and x.ndim == 2:
+        from ssl4polyp_tpu.ops.mlp import (
+            fc1_gelu,
+            fc1_supported,
+            mlp_fused,
+            mlp_fused_supported,
+        )
 
         w1 = p["fc1"]["kernel"]
-        if fc1_supported(x.shape[0], w1.shape[0], w1.shape[1]):
+        m, k, nf = x.shape[0], w1.shape[-2], w1.shape[-1]
+        if kernel == "full" and mlp_fused_supported(m, k, nf):
+            return mlp_fused(
+                x, w1.astype(x.dtype), p["fc1"]["bias"].astype(x.dtype),
+                p["fc2"]["kernel"].astype(x.dtype),
+                p["fc2"]["bias"].astype(x.dtype),
+            )
+        if fc1_supported(m, k, nf):
             h = fc1_gelu(x, w1.astype(x.dtype), p["fc1"]["bias"].astype(x.dtype))
             return linear(h, p["fc2"])
     h = linear(x, p["fc1"])
@@ -284,6 +303,7 @@ def run_blocks(
     fused_ln: Optional[bool] = None,
     flatten_stream: Optional[bool] = None,
     valid_len: Optional[int] = None,
+    mlp_fusion: Optional[str] = None,
 ) -> jax.Array:
     """Apply the stacked pre-norm blocks with ``lax.scan``.
 
@@ -325,6 +345,13 @@ def run_blocks(
     else:
         ln_fused = fused_ln
 
+    # MLP kernel policy: on the flattened stream the fc1+GELU kernel is the
+    # measured default; "full" (fc1+GELU+fc2 in one kernel, gelu(h) never in
+    # HBM) is the A/B candidate (BENCH_MLP=full).  3-D streams always "off".
+    if mlp_fusion is None:
+        mlp_fusion = "fc1"
+    mlp_kernel = mlp_fusion if flatten else "off"
+
     def body(h, layer):
         a = layernorm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], ln_eps,
                       fused=ln_fused)
@@ -335,7 +362,7 @@ def run_blocks(
         )
         m = layernorm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], ln_eps,
                       fused=ln_fused)
-        h = h + mlp(m, layer["mlp"], fc1_kernel=flatten)
+        h = h + mlp(m, layer["mlp"], kernel=mlp_kernel)
         return h, None
 
     if remat:

@@ -165,6 +165,7 @@ def mae_encode(
         unroll=enc.unroll_blocks, softmax_f32=enc.attention_softmax_f32,
         fused_ln=enc.fused_ln,
         valid_len=n_tokens if padded else None,
+        mlp_fusion=enc.mlp_fusion,
     )
     if padded:
         h = h[:, :n_tokens, :]
@@ -203,6 +204,7 @@ def mae_decode(
         unroll=enc.unroll_blocks, softmax_f32=enc.attention_softmax_f32,
         fused_ln=enc.fused_ln,
         valid_len=n_tokens if (pad_to is not None and pad_to > n_tokens) else None,
+        mlp_fusion=enc.mlp_fusion,
     )
     if pad_to is not None and pad_to > n_tokens:
         x = x[:, :n_tokens, :]

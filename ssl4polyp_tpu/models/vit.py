@@ -57,6 +57,10 @@ class ViTConfig:
     # None → the factory picks the next sublane multiple when the Pallas
     # kernels are on; 0 → explicitly off.
     pad_tokens_to: Optional[int] = None
+    # MLP kernel policy on the flattened stream: None → "fc1" (the measured
+    # default), "full" fuses fc1+GELU+fc2 into one Pallas kernel, "off"
+    # forces plain XLA dots.  Ignored for 3-D (unflattened) streams.
+    mlp_fusion: Optional[str] = None
 
     @property
     def fused_ln(self) -> Optional[bool]:
@@ -138,6 +142,7 @@ def vit_features(params: Params, images: jax.Array, cfg: ViTConfig = VIT_B16) ->
         softmax_f32=cfg.attention_softmax_f32,
         fused_ln=cfg.fused_ln,
         valid_len=n_tokens if padded else None,
+        mlp_fusion=cfg.mlp_fusion,
     )
     if padded:
         x = x[:, :n_tokens, :]

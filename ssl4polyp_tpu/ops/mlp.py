@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fc1_gelu", "fc1_supported"]
+__all__ = ["fc1_gelu", "fc1_supported", "mlp_fused", "mlp_fused_supported"]
 
 _SQRT_HALF = 1.0 / math.sqrt(2.0)
 
@@ -166,3 +166,151 @@ def _bwd(interpret, residuals, dy):
 
 
 fc1_gelu.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused MLP: fc1 + GELU + fc2 in one kernel.
+#
+# The fc1 kernel above still materialises gelu(h) to HBM and fc2 reads it
+# back; at the MAE decoder's flattened shapes (M=51200, NF=2048, bf16) that
+# is ~420 MB/block of forward HBM traffic for an intermediate that never
+# needed to exist.  This kernel keeps gelu(h) in VMEM and contracts it with
+# W2 on the spot, emitting only the (M, K) output and the pre-activation
+# ``h`` (the backward residual).  fc2's contraction is tiled over NF with an
+# fp32 VMEM scratch accumulator across the sequential minor grid dimension.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, h_ref, out_ref, acc_ref):
+    j = pl.program_id(1)
+    h = jax.lax.dot_general(
+        x_ref[:], w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:].astype(jnp.float32)
+    h_ref[:] = h.astype(h_ref.dtype)
+    g = 0.5 * h * (1.0 + _erf_sqrt_half(h))
+    part = jax.lax.dot_general(
+        g.astype(x_ref.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += part
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _emit():
+        out_ref[:] = (
+            acc_ref[:] + b2_ref[:].astype(jnp.float32)
+        ).astype(out_ref.dtype)
+
+
+def _mlp_block_sizes(m: int, k: int, nf: int, itemsize: int = 2) -> tuple[int, int]:
+    """Pick (bm, bn) dividing (m, nf) under a ~13 MB double-buffered set.
+
+    Budget counts double-buffered blocks (x, w1, b1, w2, h, out), the fp32
+    accumulator scratch and the live fp32 h/gelu temporaries.
+    """
+    for bm in (512, 256, 128, 64, 8):
+        if m % bm:
+            continue
+        for bn in (2048, 1536, 1024, 512, 256, 128):
+            if nf % bn:
+                continue
+            blocks = 2 * (bm * k + k * bn + bn + bn * k + bm * bn + bm * k) * itemsize
+            scratch = bm * k * 4
+            temps = 2 * bm * bn * 4
+            if blocks + scratch + temps <= 13 * 1024 * 1024:
+                return bm, bn
+    return 0, 0
+
+
+def mlp_fused_supported(m: int, k: int, nf: int) -> bool:
+    """Whether the fused-MLP kernel's grid tiles these dimensions."""
+    return _mlp_block_sizes(m, k, nf) != (0, 0)
+
+
+def _mlp_forward(x, w1, b1, w2, b2, interpret=False, block=None):
+    m, k = x.shape
+    nf = w1.shape[1]
+    bm, bn = block if block is not None else _mlp_block_sizes(m, k, nf)
+    return pl.pallas_call(
+        _mlp_kernel,
+        grid=(m // bm, nf // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, nf), x.dtype),
+            jax.ShapeDtypeStruct((m, k), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * k * nf,
+            bytes_accessed=(2 * m * k + 2 * k * nf + m * nf) * x.dtype.itemsize,
+            transcendentals=m * nf,
+        ),
+        interpret=interpret,
+    )(x, w1, b1.reshape(1, nf), w2, b2.reshape(1, k))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def mlp_fused(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    interpret: bool = False,
+    block: "tuple[int, int] | None" = None,
+) -> jax.Array:
+    """``gelu(x @ w1 + b1) @ w2 + b2`` (exact erf GELU) for 2-D ``x``.
+
+    One Pallas kernel; gelu(h) never touches HBM.  The VJP hands the saved
+    pre-activation ``h`` to standard XLA backward dots, recomputing gelu(h)
+    elementwise (it fuses into the dW2 dot operand).  Reference semantics:
+    ``timm.Mlp`` — ``models_mae.py:87-93``.
+    """
+    _, out = _mlp_forward(x, w1, b1, w2, b2, interpret, block)
+    return out
+
+
+def _mlp_fwd(x, w1, b1, w2, b2, interpret=False, block=None):
+    h, out = _mlp_forward(x, w1, b1, w2, b2, interpret, block)
+    return out, (x, w1, w2, h)
+
+
+def _mlp_bwd(interpret, block, residuals, dy):
+    x, w1, w2, h = residuals
+    h32 = h.astype(jnp.float32)
+    erf = _erf_sqrt_half(h32)
+    g = (0.5 * h32 * (1.0 + erf)).astype(dy.dtype)
+    dw2 = jax.lax.dot_general(
+        g, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w2.dtype)
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=0).astype(dy.dtype)
+    dg = jnp.dot(dy, w2.T.astype(dy.dtype), preferred_element_type=dy.dtype)
+    phi = jnp.exp(-0.5 * h32 * h32) * (1.0 / math.sqrt(2.0 * math.pi))
+    dgelu = 0.5 * (1.0 + erf) + h32 * phi
+    dh = (dg.astype(jnp.float32) * dgelu).astype(dy.dtype)
+    dx = jnp.dot(dh, w1.T.astype(dh.dtype), preferred_element_type=dh.dtype)
+    dw1 = jax.lax.dot_general(
+        x, dh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w1.dtype)
+    db1 = jnp.sum(dh.astype(jnp.float32), axis=0).astype(dh.dtype)
+    return dx, dw1, db1, dw2, db2
+
+
+mlp_fused.defvjp(_mlp_fwd, _mlp_bwd)

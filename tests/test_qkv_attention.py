@@ -196,6 +196,44 @@ def test_fc1_gelu_kernel_parity():
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-4)
 
 
+def test_mlp_fused_kernel_parity():
+    """ops/mlp.py::mlp_fused (fc1+GELU+fc2 single kernel) matches the plain
+    XLA MLP for values and all five gradients, both single-tile and with the
+    NF grid tiled (fp32 accumulator across the sequential minor dim)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.ops.mlp import mlp_fused, mlp_fused_supported
+
+    M, K, NF = 16, 32, 128
+    assert mlp_fused_supported(M, K, NF)
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (M, K), jnp.float32) * 0.5
+    w1 = jax.random.normal(ks[1], (K, NF), jnp.float32) * 0.1
+    b1 = jax.random.normal(ks[2], (NF,), jnp.float32) * 0.05
+    w2 = jax.random.normal(ks[3], (NF, K), jnp.float32) * 0.1
+    b2 = jax.random.normal(ks[4], (K,), jnp.float32) * 0.05
+
+    def ref(x, w1, b1, w2, b2):
+        return jnp.dot(jax.nn.gelu(jnp.dot(x, w1) + b1, approximate=False), w2) + b2
+
+    want = ref(x, w1, b1, w2, b2)
+    for block in (None, (8, 32)):  # (8, 32): 4 NF tiles → scratch accumulation
+        out = mlp_fused(x, w1, b1, w2, b2, True, block)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        g_new = jax.grad(
+            lambda *a: (mlp_fused(*a, True, block) ** 2).sum(), argnums=(0, 1, 2, 3, 4)
+        )(x, w1, b1, w2, b2)
+        g_ref = jax.grad(
+            lambda *a: (ref(*a) ** 2).sum(), argnums=(0, 1, 2, 3, 4)
+        )(x, w1, b1, w2, b2)
+        for a, c in zip(g_new, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=2e-4, atol=2e-4)
+
+
 def test_gelu_polynomial_accuracy():
     """The clip-tailed Chebyshev erf in ops/mlp.py stays within its stated
     error bounds over the whole real line (incl. far past the fit domain):
