@@ -45,7 +45,8 @@ DEFAULTS = {
     "BENCH_DECODER_PAD": "200",      # sublane-aligned flattened stream
     "BENCH_ENCODER_PAD": "0",        # 56 measured slower (1748)
     "BENCH_VIT_PAD": "1",            # finetune +5.2% (1192 vs 1133)
-    "BENCH_MLP": "fc1",              # "full" = one-kernel MLP (A/B candidate)
+    "BENCH_MLP": "fc1",              # "full"/"full_ln" = one-kernel MLP (A/B)
+    "BENCH_QKV_LN": "0",             # 1 = LN folded into QKV projection (A/B)
     "BENCH_ITERS": "10",
     "BENCH_TRIALS": "3",
 }
@@ -254,6 +255,7 @@ def main() -> None:
             else os.environ["BENCH_FUSED_LN"] == "1"
         ),
         mlp_fusion=_env("BENCH_MLP"),
+        qkv_ln_fusion=_env("BENCH_QKV_LN") == "1",
     )
     cfg = dataclasses.replace(
         cfg,

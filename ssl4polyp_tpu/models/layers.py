@@ -178,6 +178,28 @@ def mlp(x: jax.Array, p: Params, kernel: str = "off") -> jax.Array:
     return linear(h, p["fc2"])
 
 
+def mlp_ln(x: jax.Array, ln: Params, p: Params, eps: float = 1e-6) -> jax.Array:
+    """``x + mlp(layernorm(x))`` — the pre-norm MLP half-block with LN AND
+    the residual folded into the fused MLP kernel (``mlp_fusion="full_ln"``;
+    2-D flattened stream on TPU only).
+
+    Falls back to the separate layernorm + :func:`mlp` + add chain when the
+    tiling is unsupported.
+    """
+    if x.ndim == 2:
+        from ssl4polyp_tpu.ops.mlp import mlp_fused_supported, mlp_ln_fused
+
+        w1 = p["fc1"]["kernel"]
+        if mlp_fused_supported(x.shape[0], w1.shape[-2], w1.shape[-1]):
+            return mlp_ln_fused(
+                x, ln["scale"], ln["bias"],
+                w1.astype(x.dtype), p["fc1"]["bias"].astype(x.dtype),
+                p["fc2"]["kernel"].astype(x.dtype),
+                p["fc2"]["bias"].astype(x.dtype), eps,
+            )
+    return x + mlp(layernorm(x, ln["scale"], ln["bias"], eps), p, kernel="fc1")
+
+
 def attention(
     x: jax.Array,
     p: Params,
@@ -186,8 +208,14 @@ def attention(
     softmax_f32: bool = True,
     seq_len: Optional[int] = None,
     valid_len: Optional[int] = None,
+    ln: Optional[Params] = None,
+    ln_eps: float = 1e-6,
 ) -> jax.Array:
     """Multi-head self-attention with fused QKV.
+
+    With ``ln`` (flattened Pallas path only) the caller's pre-norm is folded
+    into the QKV projection kernel instead of running separately — pass the
+    UN-normalised stream as ``x`` in that case.
 
     ``x``: (B, N, D) — or the flattened (B·N, D) view with ``seq_len=N``
     (used at large batches to keep the residual stream 2-D: XLA then has no
@@ -223,7 +251,25 @@ def attention(
         if seq_len is not None:
             from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_attention
 
-            qkv = linear(x, p["qkv"]).reshape(B, N, 3 * D)
+            if ln is not None:
+                # ln folded into the projection: the normalised stream never
+                # touches HBM (ops/ln_linear.py; qkv_ln_fusion A/B knob).
+                from ssl4polyp_tpu.ops.ln_linear import (
+                    ln_linear,
+                    ln_linear_supported,
+                )
+
+                if ln_linear_supported(x.shape[0], D, 3 * D):
+                    qkv = ln_linear(
+                        x, ln["scale"], ln["bias"],
+                        p["qkv"]["kernel"].astype(x.dtype),
+                        p["qkv"]["bias"].astype(x.dtype), ln_eps,
+                    ).reshape(B, N, 3 * D)
+                else:
+                    x = layernorm(x, ln["scale"], ln["bias"], ln_eps)
+                    qkv = linear(x, p["qkv"]).reshape(B, N, 3 * D)
+            else:
+                qkv = linear(x, p["qkv"]).reshape(B, N, 3 * D)
             out = fused_qkv_attention(qkv, num_heads, False, softmax_f32, valid_len)
             return linear(out.reshape(B * N, D), p["proj"])
 
@@ -304,6 +350,7 @@ def run_blocks(
     flatten_stream: Optional[bool] = None,
     valid_len: Optional[int] = None,
     mlp_fusion: Optional[str] = None,
+    qkv_ln_fusion: bool = False,
 ) -> jax.Array:
     """Apply the stacked pre-norm blocks with ``lax.scan``.
 
@@ -352,17 +399,26 @@ def run_blocks(
         mlp_fusion = "fc1"
     mlp_kernel = mlp_fusion if flatten else "off"
 
+    qkv_ln = qkv_ln_fusion and flatten
+
     def body(h, layer):
-        a = layernorm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], ln_eps,
-                      fused=ln_fused)
+        if qkv_ln:
+            a, a_ln = h, layer["ln1"]
+        else:
+            a = layernorm(h, layer["ln1"]["scale"], layer["ln1"]["bias"],
+                          ln_eps, fused=ln_fused)
+            a_ln = None
         h = h + attention(
             a, layer["attn"], num_heads,
             use_pallas=use_pallas, softmax_f32=softmax_f32, seq_len=seq_len,
-            valid_len=valid_len,
+            valid_len=valid_len, ln=a_ln, ln_eps=ln_eps,
         )
-        m = layernorm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], ln_eps,
-                      fused=ln_fused)
-        h = h + mlp(m, layer["mlp"], kernel=mlp_kernel)
+        if mlp_kernel == "full_ln":
+            h = mlp_ln(h, layer["ln2"], layer["mlp"], ln_eps)
+        else:
+            m = layernorm(h, layer["ln2"]["scale"], layer["ln2"]["bias"],
+                          ln_eps, fused=ln_fused)
+            h = h + mlp(m, layer["mlp"], kernel=mlp_kernel)
         return h, None
 
     if remat:

@@ -166,6 +166,7 @@ def mae_encode(
         fused_ln=enc.fused_ln,
         valid_len=n_tokens if padded else None,
         mlp_fusion=enc.mlp_fusion,
+        qkv_ln_fusion=enc.qkv_ln_fusion,
     )
     if padded:
         h = h[:, :n_tokens, :]
@@ -205,6 +206,7 @@ def mae_decode(
         fused_ln=enc.fused_ln,
         valid_len=n_tokens if (pad_to is not None and pad_to > n_tokens) else None,
         mlp_fusion=enc.mlp_fusion,
+        qkv_ln_fusion=enc.qkv_ln_fusion,
     )
     if pad_to is not None and pad_to > n_tokens:
         x = x[:, :n_tokens, :]

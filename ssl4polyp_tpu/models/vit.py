@@ -58,9 +58,13 @@ class ViTConfig:
     # kernels are on; 0 → explicitly off.
     pad_tokens_to: Optional[int] = None
     # MLP kernel policy on the flattened stream: None → "fc1" (the measured
-    # default), "full" fuses fc1+GELU+fc2 into one Pallas kernel, "off"
-    # forces plain XLA dots.  Ignored for 3-D (unflattened) streams.
+    # default), "full" fuses fc1+GELU+fc2 into one Pallas kernel, "full_ln"
+    # additionally folds the pre-MLP LayerNorm into it, "off" forces plain
+    # XLA dots.  Ignored for 3-D (unflattened) streams.
     mlp_fusion: Optional[str] = None
+    # Fold each block's pre-attention LayerNorm into the QKV projection
+    # kernel (ops/ln_linear.py; flattened stream only).  A/B candidate.
+    qkv_ln_fusion: bool = False
 
     @property
     def fused_ln(self) -> Optional[bool]:
@@ -143,6 +147,7 @@ def vit_features(params: Params, images: jax.Array, cfg: ViTConfig = VIT_B16) ->
         fused_ln=cfg.fused_ln,
         valid_len=n_tokens if padded else None,
         mlp_fusion=cfg.mlp_fusion,
+        qkv_ln_fusion=cfg.qkv_ln_fusion,
     )
     if padded:
         x = x[:, :n_tokens, :]

@@ -24,7 +24,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fc1_gelu", "fc1_supported", "mlp_fused", "mlp_fused_supported"]
+__all__ = [
+    "fc1_gelu", "fc1_supported",
+    "mlp_fused", "mlp_fused_supported",
+    "mlp_ln_fused",
+]
 
 _SQRT_HALF = 1.0 / math.sqrt(2.0)
 
@@ -314,3 +318,160 @@ def _mlp_bwd(interpret, block, residuals, dy):
 
 
 mlp_fused.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# LN + MLP in one kernel: the pre-norm block's second half
+# (``x + mlp(layernorm(x))``'s inner chain) without materialising the
+# normalised stream.  Each (bm, K) row tile holds complete feature rows, so
+# the LN statistics are local to the tile; the backward recomputes them in
+# XLA (the same recompute XLA's own LN lowering performs).
+# ---------------------------------------------------------------------------
+
+
+def _mlp_ln_kernel(
+    x_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    h_ref, out_ref, acc_ref, *, eps,
+):
+    j = pl.program_id(1)
+    x = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    m = xc * jax.lax.rsqrt(var + eps)
+    m = m * s_ref[:].astype(jnp.float32) + t_ref[:].astype(jnp.float32)
+    h = jax.lax.dot_general(
+        m.astype(x_ref.dtype), w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:].astype(jnp.float32)
+    h_ref[:] = h.astype(h_ref.dtype)
+    g = 0.5 * h * (1.0 + _erf_sqrt_half(h))
+    part = jax.lax.dot_general(
+        g.astype(x_ref.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += part
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _emit():
+        # Residual folded in: x is already resident in VMEM, so the block's
+        # ``x + mlp(ln(x))`` add costs nothing extra here, while a separate
+        # XLA add would re-read both operands from HBM.
+        out_ref[:] = (
+            x + acc_ref[:] + b2_ref[:].astype(jnp.float32)
+        ).astype(out_ref.dtype)
+
+
+def _mlp_ln_forward(x, s, t, w1, b1, w2, b2, eps, interpret=False, block=None):
+    m, k = x.shape
+    nf = w1.shape[1]
+    bm, bn = block if block is not None else _mlp_block_sizes(m, k, nf)
+    row = lambda i, j: (i, 0)
+    return pl.pallas_call(
+        functools.partial(_mlp_ln_kernel, eps=eps),
+        grid=(m // bm, nf // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, nf), x.dtype),
+            jax.ShapeDtypeStruct((m, k), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * k * nf + 8 * m * k,
+            bytes_accessed=(2 * m * k + 2 * k * nf + m * nf) * x.dtype.itemsize,
+            transcendentals=m * nf + m,
+        ),
+        interpret=interpret,
+    )(x, s.reshape(1, k), t.reshape(1, k), w1, b1.reshape(1, nf),
+      w2, b2.reshape(1, k))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def mlp_ln_fused(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    eps: float = 1e-6,
+    interpret: bool = False,
+    block: "tuple[int, int] | None" = None,
+) -> jax.Array:
+    """``x + gelu(layernorm(x) @ w1 + b1) @ w2 + b2`` in one kernel
+    (2-D ``x``) — the full pre-norm MLP half-block INCLUDING its residual.
+
+    The normalised stream never touches HBM in the forward; the backward
+    recomputes the LN statistics and ``gelu(h)`` in XLA from the saved
+    ``x``/``h``.  ``ln_scale``/``ln_bias`` are (K,) fp32.  Shape support is
+    :func:`mlp_fused_supported`.
+    """
+    _, out = _mlp_ln_forward(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                             eps, interpret, block)
+    return out
+
+
+def _mlp_ln_fwd(x, s, t, w1, b1, w2, b2, eps, interpret=False, block=None):
+    h, out = _mlp_ln_forward(x, s, t, w1, b1, w2, b2, eps, interpret, block)
+    return out, (x, s, t, w1, w2, h)
+
+
+def _mlp_ln_bwd(eps, interpret, block, residuals, dy):
+    x, s, t, w1, w2, h = residuals
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    m = (xhat * s.astype(jnp.float32) + t.astype(jnp.float32)).astype(x.dtype)
+
+    h32 = h.astype(jnp.float32)
+    erf = _erf_sqrt_half(h32)
+    g = (0.5 * h32 * (1.0 + erf)).astype(dy.dtype)
+    dw2 = jax.lax.dot_general(
+        g, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w2.dtype)
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=0).astype(dy.dtype)
+    dg = jnp.dot(dy, w2.T.astype(dy.dtype), preferred_element_type=dy.dtype)
+    phi = jnp.exp(-0.5 * h32 * h32) * (1.0 / math.sqrt(2.0 * math.pi))
+    dgelu = 0.5 * (1.0 + erf) + h32 * phi
+    dh = (dg.astype(jnp.float32) * dgelu).astype(dy.dtype)
+    dm = jnp.dot(dh, w1.T.astype(dh.dtype), preferred_element_type=dh.dtype)
+    dw1 = jax.lax.dot_general(
+        m, dh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w1.dtype)
+    db1 = jnp.sum(dh.astype(jnp.float32), axis=0).astype(dh.dtype)
+
+    dm32 = dm.astype(jnp.float32)
+    dscale = jnp.sum(dm32 * xhat, axis=0).astype(s.dtype)
+    dbias = jnp.sum(dm32, axis=0).astype(t.dtype)
+    dxhat = dm32 * s.astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    # + dy: the identity path of the folded residual.
+    dx = (rstd * (dxhat - m1 - xhat * m2) + dy.astype(jnp.float32)).astype(x.dtype)
+    return dx, dscale, dbias, dw1, db1, dw2, db2
+
+
+mlp_ln_fused.defvjp(_mlp_ln_fwd, _mlp_ln_bwd)

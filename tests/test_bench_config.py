@@ -38,6 +38,7 @@ def test_bench_operating_point_pinned():
         "BENCH_ENCODER_PAD": "0",
         "BENCH_VIT_PAD": "1",
         "BENCH_MLP": "fc1",
+        "BENCH_QKV_LN": "0",
         "BENCH_ITERS": "10",
         "BENCH_TRIALS": "3",
     }

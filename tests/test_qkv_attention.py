@@ -234,6 +234,87 @@ def test_mlp_fused_kernel_parity():
                                        rtol=2e-4, atol=2e-4)
 
 
+def test_mlp_ln_fused_kernel_parity():
+    """ops/mlp.py::mlp_ln_fused (LN+fc1+GELU+fc2 single kernel) matches
+    layernorm → plain XLA MLP for values and all seven gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.models.layers import layernorm
+    from ssl4polyp_tpu.ops.mlp import mlp_ln_fused
+
+    M, K, NF = 16, 32, 128
+    ks = jax.random.split(jax.random.PRNGKey(3), 7)
+    x = jax.random.normal(ks[0], (M, K), jnp.float32)
+    s = 1.0 + 0.1 * jax.random.normal(ks[1], (K,), jnp.float32)
+    t = 0.05 * jax.random.normal(ks[2], (K,), jnp.float32)
+    w1 = jax.random.normal(ks[3], (K, NF), jnp.float32) * 0.1
+    b1 = jax.random.normal(ks[4], (NF,), jnp.float32) * 0.05
+    w2 = jax.random.normal(ks[5], (NF, K), jnp.float32) * 0.1
+    b2 = jax.random.normal(ks[6], (K,), jnp.float32) * 0.05
+
+    def ref(x, s, t, w1, b1, w2, b2):
+        m = layernorm(x, s, t, 1e-6)
+        y = jnp.dot(jax.nn.gelu(jnp.dot(m, w1) + b1, approximate=False), w2) + b2
+        return x + y  # the kernel folds the block residual in
+
+    want = ref(x, s, t, w1, b1, w2, b2)
+    for block in (None, (8, 32)):
+        out = mlp_ln_fused(x, s, t, w1, b1, w2, b2, 1e-6, True, block)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        argnums = tuple(range(7))
+        g_new = jax.grad(
+            lambda *a: (mlp_ln_fused(*a, 1e-6, True, block) ** 2).sum(),
+            argnums=argnums,
+        )(x, s, t, w1, b1, w2, b2)
+        g_ref = jax.grad(
+            lambda *a: (ref(*a) ** 2).sum(), argnums=argnums
+        )(x, s, t, w1, b1, w2, b2)
+        for a, c in zip(g_new, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_ln_linear_kernel_parity():
+    """ops/ln_linear.py::ln_linear matches layernorm → dot+bias for values
+    and all five gradients (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.models.layers import layernorm
+    from ssl4polyp_tpu.ops.ln_linear import ln_linear, ln_linear_supported
+
+    M, K, N = 16, 32, 96
+    assert ln_linear_supported(M, K, N)
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    x = jax.random.normal(ks[0], (M, K), jnp.float32)
+    s = 1.0 + 0.1 * jax.random.normal(ks[1], (K,), jnp.float32)
+    t = 0.05 * jax.random.normal(ks[2], (K,), jnp.float32)
+    w = jax.random.normal(ks[3], (K, N), jnp.float32) * 0.1
+    b = jax.random.normal(ks[4], (N,), jnp.float32) * 0.05
+
+    def ref(x, s, t, w, b):
+        return jnp.dot(layernorm(x, s, t, 1e-6), w) + b
+
+    for block in (None, 8):  # 8: multi-program row grid
+        out = ln_linear(x, s, t, w, b, 1e-6, True, block)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref(x, s, t, w, b)),
+                                   rtol=1e-5, atol=1e-5)
+        argnums = tuple(range(5))
+        g_new = jax.grad(
+            lambda *a: (ln_linear(*a, 1e-6, True, block) ** 2).sum(),
+            argnums=argnums,
+        )(x, s, t, w, b)
+        g_ref = jax.grad(lambda *a: (ref(*a) ** 2).sum(), argnums=argnums)(
+            x, s, t, w, b)
+        for a, c in zip(g_new, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=2e-4, atol=2e-4)
+
+
 def test_gelu_polynomial_accuracy():
     """The clip-tailed Chebyshev erf in ops/mlp.py stays within its stated
     error bounds over the whole real line (incl. far past the fit domain):
