@@ -117,6 +117,8 @@ def bench_finetune() -> None:
         pad_tokens_to=(
             None if _env("BENCH_VIT_PAD") == "1" else 0
         ),
+        mlp_fusion=_env("BENCH_MLP"),
+        qkv_ln_fusion=_env("BENCH_QKV_LN") == "1",
     )
     cfg = classifier.cfg
     params = classifier.params
