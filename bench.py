@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from pathlib import Path
 
 # Persistent XLA compile cache: TPU compiles via the remote-compile relay
 # take 10+ minutes for the fused multi-step executable; with the cache the
@@ -27,6 +28,12 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jaxcache"),
 )
+
+# Honor JAX_PLATFORMS (e.g. =cpu) over the sitecustomize's axon pin so the
+# bench can be smoke-run on the host mesh when the TPU relay is down.
+from ssl4polyp_tpu.utils.platform import honor_platform_env
+
+honor_platform_env()
 
 BASELINE_IMAGES_PER_SEC = 1650.0  # 2x A100 estimate (north-star target)
 
@@ -63,6 +70,10 @@ def _measure(jit_call, *, images_per_iter: int, n_devices: int):
 
     iters = int(_env("BENCH_ITERS"))
     trials = int(_env("BENCH_TRIALS"))
+    if iters < 1 or trials < 1:
+        raise SystemExit(
+            f"BENCH_ITERS ({iters}) and BENCH_TRIALS ({trials}) must be >= 1"
+        )
     per_trial = []
     step = 0
     for _ in range(trials):
@@ -386,11 +397,106 @@ def main() -> None:
           baseline=BASELINE_IMAGES_PER_SEC)
 
 
+def bench_input() -> None:
+    """Host input-pipeline throughput: can the host FEED the chip?
+
+    The TPU step consumes 1700+ img/s/chip of 224×224 uint8 batches; this
+    workload proves (or sizes) the host headroom against that rate — the
+    reference counterpart is the torch DataLoader worker pool
+    (``packs.py:319-394``).  Entirely host-side (no TPU needed):
+
+    * generates a synthetic JPEG corpus at SUN-like source resolution;
+    * measures ``PretrainLoader`` (PIL decode + random-resized-crop + flip,
+      the MAE pretrain path) end-to-end at several worker counts;
+    * A/Bs the eval-path frame decode (PIL vs the native C++ libjpeg pool,
+      ``native/jpeg_loader.cpp``).
+
+    The JSON line's value is the best PretrainLoader rate; ``vs_baseline``
+    divides by BENCH_INPUT_BASELINE (default 1761 = the round-3 device
+    consumption rate), so >= 1.0 means the host keeps the chip fed.
+    """
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from ssl4polyp_tpu.data.folder import ImageFolderIndex, PretrainLoader
+    from ssl4polyp_tpu.data.transforms import decode_frame
+    from ssl4polyp_tpu.native import decode_resize_batch, native_available
+
+    n_frames = int(os.environ.get("BENCH_INPUT_FRAMES", "2048"))
+    src_h = int(os.environ.get("BENCH_INPUT_SRC_H", "1080"))
+    src_w = int(os.environ.get("BENCH_INPUT_SRC_W", "1240"))  # SUN native res
+    batch = int(os.environ.get("BENCH_INPUT_BATCH", "256"))
+    worker_grid = [
+        int(w) for w in os.environ.get("BENCH_INPUT_WORKERS", "8,16,32,48").split(",")
+    ]
+    baseline = float(os.environ.get("BENCH_INPUT_BASELINE", "1761"))
+
+    corpus = Path(tempfile.gettempdir()) / f"bench_input_{n_frames}_{src_h}x{src_w}"
+    if not corpus.exists() or len(list(corpus.glob("*.jpg"))) < n_frames:
+        corpus.mkdir(parents=True, exist_ok=True)
+        rng = np.random.default_rng(0)
+        # Low-frequency content + noise: realistic JPEG entropy (pure noise
+        # decodes unrealistically slowly; flat color unrealistically fast).
+        for i in range(n_frames):
+            base = rng.integers(0, 255, size=(src_h // 16, src_w // 16, 3),
+                                dtype=np.uint8)
+            img = Image.fromarray(base).resize((src_w, src_h), Image.BILINEAR)
+            arr = np.asarray(img, dtype=np.int16)
+            arr = np.clip(
+                arr + rng.integers(-12, 12, size=arr.shape, dtype=np.int16),
+                0, 255,
+            ).astype(np.uint8)
+            Image.fromarray(arr).save(corpus / f"f{i:05d}.jpg", quality=90)
+
+    index = ImageFolderIndex(corpus, no_train_dir=True)
+    results = {}
+    best = 0.0
+    for workers in worker_grid:
+        loader = PretrainLoader(
+            index, batch, image_size=224, num_workers=workers,
+            prefetch_batches=4,
+        )
+        n_images = 0
+        t0 = time.perf_counter()
+        for images in loader:
+            n_images += images.shape[0]
+        rate = n_images / (time.perf_counter() - t0)
+        results[f"pretrain_w{workers}"] = round(rate, 1)
+        best = max(best, rate)
+
+    # Eval-path decode A/B on the first `batch` frames.
+    paths = index.paths[:batch]
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        list(pool.map(lambda p: decode_frame(p, 224), paths))
+    results["eval_decode_pil_w16"] = round(batch / (time.perf_counter() - t0), 1)
+    if native_available():
+        t0 = time.perf_counter()
+        decode_resize_batch(paths, 224, 224, n_threads=16)
+        results["eval_decode_native_w16"] = round(
+            batch / (time.perf_counter() - t0), 1
+        )
+
+    print(json.dumps({
+        "metric": "host_input_pipeline_throughput",
+        "value": round(best, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(best / baseline, 3),
+        "detail": results,
+    }))
+
+
 if __name__ == "__main__":
     workload = os.environ.get("BENCH_WORKLOAD", "pretrain")
     if workload == "finetune":
         bench_finetune()
     elif workload == "eval":
         bench_eval()
+    elif workload == "input":
+        bench_input()
     else:
         main()

@@ -26,3 +26,10 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS before any backend touch: the terminal sitecustomize
+# pins jax_platforms to the axon backend, which otherwise overrides the
+# documented CPU-mesh recipe and hangs every CLI when the TPU relay is down.
+from ssl4polyp_tpu.utils.platform import honor_platform_env as _honor_platform_env
+
+_honor_platform_env()

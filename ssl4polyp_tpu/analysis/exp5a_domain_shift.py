@@ -27,6 +27,7 @@ import numpy as np
 from .bootstrapper import DEFAULT_BOOTSTRAP_SEED
 from .common import CommonRun, load_common_run
 from .display import format_delta, format_value
+from .guardrails import GuardrailViolation
 from .frame_bootstrap import metric_from_frames
 from .report_core import RunSet
 
@@ -111,10 +112,17 @@ class Exp5aView:
     its parent SUN run's frames when resolvable."""
 
     def __init__(self, run: CommonRun, *, model: str, seed: int):
+        # GuardrailViolation, not a bare ValueError: missing inputs are a
+        # validation failure and must surface through the same posture as
+        # the rest of the analysis layer (report_core / guardrails).
         if not run.frames:
-            raise ValueError(f"exp5a analysis needs outputs-CSV frames: {run.metrics_path}")
+            raise GuardrailViolation(
+                f"exp5a analysis needs outputs-CSV frames: {run.metrics_path}"
+            )
         if run.primary_tau is None:
-            raise ValueError(f"exp5a run lacks a primary τ: {run.metrics_path}")
+            raise GuardrailViolation(
+                f"exp5a run lacks a primary τ: {run.metrics_path}"
+            )
         self.run = run
         self.model = model
         self.seed = seed
@@ -197,6 +205,12 @@ class Exp5aView:
             return None
         draw = rng.integers(0, len(usable), size=len(usable))
         return np.concatenate([self.centers[usable[int(d)]] for d in draw])
+
+    def indices_for_centers(self, center_ids: Sequence[str]) -> np.ndarray:
+        """Frame indices for an already-drawn centre-id multiset (paired
+        bootstrap: the SAME drawn centres map into each run's own index
+        arrays — order-independent and paired even under coverage skew)."""
+        return np.concatenate([self.centers[cid] for cid in center_ids])
 
     def resample_sun_cases(self, rng: np.random.Generator) -> Optional[np.ndarray]:
         if not self.sun_cases:
@@ -461,17 +475,20 @@ def domain_shift_section(run_set: RunSet, output_dir: Path) -> List[str]:
                 for _ in range(n_resamples):
                     vals = []
                     for s in seeds:
-                        idx = base_runs[s].resample_centers(rng, centers)
-                        if idx is None:
+                        # Draw centre ids ONCE over the pair's shared
+                        # coverage, then map the same drawn multiset into
+                        # each run's own index arrays (paired regardless
+                        # of row order or coverage skew — advisor finding).
+                        shared = [
+                            c for c in centers
+                            if c in base_runs[s].centers and c in cont_runs[s].centers
+                        ]
+                        if not shared:
                             continue
-                        # identical centre coverage ⇒ one draw drives both
-                        idx_c = (
-                            idx
-                            if base_runs[s].centers.keys() == cont_runs[s].centers.keys()
-                            else cont_runs[s].resample_centers(rng, centers)
-                        )
-                        if idx_c is None:
-                            continue
+                        draw = rng.integers(0, len(shared), size=len(shared))
+                        drawn = [shared[int(d)] for d in draw]
+                        idx = base_runs[s].indices_for_centers(drawn)
+                        idx_c = cont_runs[s].indices_for_centers(drawn)
                         delta = (
                             cont_runs[s].polyp_suite(idx_c)[metric]
                             - base_runs[s].polyp_suite(idx)[metric]

@@ -137,6 +137,13 @@ class _Exp3Run:
         draw = rng.integers(0, len(ids), size=len(ids))
         return np.concatenate([self.cases[ids[int(d)]] for d in draw])
 
+    def indices_for(self, case_ids: Sequence[str]) -> np.ndarray:
+        """Frame indices for an already-drawn case-id multiset (paired
+        bootstrap: the SAME drawn ids map into each run's own index
+        arrays, so pairing holds regardless of CSV row order or
+        coverage differences between the two runs)."""
+        return np.concatenate([self.cases[cid] for cid in case_ids])
+
 
 def _quantile_ci(samples: Sequence[float]) -> tuple:
     arr = np.asarray([s for s in samples if math.isfinite(s)])
@@ -221,11 +228,15 @@ def _strata_policy_section(run_set: RunSet) -> List[str]:
                             ids = shared_cases[s]
                             if not ids:
                                 continue
-                            idx_b = base_runs[s].resample(rng_root, ids)
-                            idx_c = cont_runs[s].resample(rng_root, ids)
-                            # identical frame sets ⇒ reuse the baseline draw
-                            if base_runs[s].cases.keys() == cont_runs[s].cases.keys():
-                                idx_c = idx_b
+                            # Draw case ids ONCE, then map the same drawn
+                            # multiset into each run's own per-case index
+                            # arrays — pairing is then independent of CSV
+                            # row order and stays paired when the two runs'
+                            # case coverage differs (advisor finding).
+                            draw = rng_root.integers(0, len(ids), size=len(ids))
+                            drawn = [ids[int(d)] for d in draw]
+                            idx_b = base_runs[s].indices_for(drawn)
+                            idx_c = cont_runs[s].indices_for(drawn)
                             vals.append(
                                 cont_runs[s].metric(metric, stratum, policy, idx_c)
                                 - base_runs[s].metric(metric, stratum, policy, idx_b)

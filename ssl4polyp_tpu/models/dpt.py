@@ -5,7 +5,11 @@ Capability parity with the reference's ``models/DPT_decoder.py`` (used when
 the model-zoo surface — SURVEY §2.3).  Structure:
 
 * taps: block outputs {2, 5, 8, 11} of the 12-block encoder;
-* readout: drop the cls token;
+* readout: what to do with the cls token before reassembly — ``"ignore"``
+  (drop it), ``"add"`` (broadcast-add it to every spatial token), or
+  ``"project"`` (concat it to every spatial token and project 2D→D with a
+  GELU linear), matching the reference's three readout operators
+  (``DPT_decoder.py:21-60`` Slice/AddReadout/ProjectReadout);
 * reassemble: per-tap 1×1 projection to [96, 192, 384, 768] channels and
   spatial rescale to {4×, 2×, 1×, ½×} of the patch grid;
 * scratch: 3×3 convs onto a common 256-channel pyramid;
@@ -39,6 +43,7 @@ class DPTConfig:
     features: int = 256
     reassemble_channels: Tuple[int, int, int, int] = (96, 192, 384, 768)
     grid_size: int = 14  # 224 / 16
+    readout: str = "ignore"  # "ignore" | "add" | "project"
 
 
 def _conv_init(key, kh, kw, cin, cout):
@@ -58,13 +63,30 @@ def _conv(x, p, stride=1, padding="SAME"):
     return out + p["bias"].astype(x.dtype)
 
 
+def _linear_init(key, fan_in, fan_out):
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    kernel = jax.random.uniform(key, (fan_in, fan_out), minval=-limit, maxval=limit)
+    return {"kernel": kernel, "bias": jnp.zeros((fan_out,))}
+
+
 def init_dpt(key: jax.Array, cfg: DPTConfig = DPTConfig()) -> Params:
-    keys = iter(jax.random.split(key, 32))
+    if cfg.readout not in ("ignore", "add", "project"):
+        raise ValueError(
+            f"readout must be 'ignore', 'add', or 'project', got {cfg.readout!r}"
+        )
+    keys = iter(jax.random.split(key, 40))
     params: Params = {"reassemble": [], "scratch": [], "fusion": [], "head": {}}
     for channels in cfg.reassemble_channels:
-        params["reassemble"].append(
-            {"project": _conv_init(next(keys), 1, 1, cfg.embed_dim, channels)}
-        )
+        reassemble: Params = {
+            "project": _conv_init(next(keys), 1, 1, cfg.embed_dim, channels)
+        }
+        if cfg.readout == "project":
+            # Per-tap 2D -> D GELU projection of [spatial ; cls]
+            # (reference ProjectReadout is one instance per tap).
+            reassemble["readout_project"] = _linear_init(
+                next(keys), 2 * cfg.embed_dim, cfg.embed_dim
+            )
+        params["reassemble"].append(reassemble)
         params["scratch"].append(_conv_init(next(keys), 3, 3, channels, cfg.features))
     for _ in cfg.reassemble_channels:
         params["fusion"].append({
@@ -118,7 +140,22 @@ def dpt_forward(
 
     pyramid: List[jax.Array] = []
     for i, tokens in enumerate(taps):
-        spatial = tokens[:, 1:, :]  # drop cls (readout: ignore)
+        spatial = tokens[:, 1:, :]
+        if cfg.readout == "add":
+            # Broadcast-add the cls token (reference AddReadout).
+            spatial = spatial + tokens[:, :1, :]
+        elif cfg.readout == "project":
+            # Concat cls to every spatial token, project 2D->D, GELU
+            # (reference ProjectReadout).  One fat GEMM per tap: the
+            # (B·N, 2D)x(2D, D) contraction keeps the MXU fed.
+            readout = jnp.broadcast_to(tokens[:, :1, :], spatial.shape)
+            stacked = jnp.concatenate([spatial, readout], axis=-1)
+            p_ro = params["reassemble"][i]["readout_project"]
+            projected = (
+                stacked @ p_ro["kernel"].astype(stacked.dtype)
+                + p_ro["bias"].astype(stacked.dtype)
+            )
+            spatial = jax.nn.gelu(projected, approximate=False)
         B, N, D = spatial.shape
         feature = spatial.reshape(B, grid, grid, D)
         feature = _conv(feature, params["reassemble"][i]["project"])

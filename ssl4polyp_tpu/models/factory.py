@@ -66,13 +66,19 @@ class DenseClassifier:
         return dpt_forward(params["dpt"], taps, self.dpt_cfg).astype(jnp.float32)
 
 
-def _as_dense(classifier: "Classifier", key: jax.Array, num_classes: int) -> DenseClassifier:
-    """Wrap a pooled classifier's encoder with a fresh DPT decoder."""
+def _as_dense(classifier: "Classifier", key: jax.Array, num_classes: int,
+              readout: str = "ignore") -> DenseClassifier:
+    """Wrap a pooled classifier's encoder with a fresh DPT decoder.
+
+    ``readout`` selects the cls-token readout operator — ignore/add/project,
+    matching the reference's ``get_readout_oper`` (``DPT_decoder.py:52-60``).
+    """
     encoder = {k: v for k, v in classifier.params.items() if k != "head"}
     dpt_cfg = DPTConfig(
         embed_dim=classifier.cfg.embed_dim,
         num_classes=num_classes,
         grid_size=classifier.cfg.grid_size,
+        readout=readout,
     )
     return DenseClassifier(
         params={"encoder": encoder, "dpt": init_dpt(key, dpt_cfg)},
@@ -180,13 +186,27 @@ def get_imagenet_or_random_vit(
     cfg = _vit_b(num_classes, out_token, pos_embed=pos_embed, **overrides)
     params = init_vit(key, cfg)
     scheme = "random"
+    if pretrained_npz == "auto":
+        # Conventional cache location filled by scripts/fetch_augreg.py on
+        # an internet-connected host (the offline half of the reference's
+        # fetch-and-cache flow, models.py:52-55,225).
+        import importlib.util as _ilu
+
+        spec = _ilu.spec_from_file_location(
+            "fetch_augreg",
+            Path(__file__).resolve().parents[2] / "scripts" / "fetch_augreg.py",
+        )
+        module = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        pretrained_npz = module.default_path()
     if pretrained_npz is not None:
         npz = Path(pretrained_npz)
         if not npz.exists():
             raise FileNotFoundError(
                 f"AugReg checkpoint not found at {npz}. This environment has no "
-                "network egress; place the npz locally and point the model config "
-                "checkpoint field at it."
+                "network egress; run scripts/fetch_augreg.py on an internet "
+                "host, ship the npz, and point the model config checkpoint "
+                "field (or SSL4POLYP_TPU_CACHE) at it."
             )
         imported = _as_jax(vit_params_from_augreg_npz(npz, cfg))
         head = params.get("head")
@@ -215,6 +235,9 @@ def build_classifier(
     logits instead of pooled ones.
     """
     dense = bool(overrides.pop("dense", model_cfg.get("dense", False)))
+    dense_readout = str(
+        overrides.pop("dense_readout", model_cfg.get("dense_readout", "ignore"))
+    )
     if dense:
         key, dense_key = jax.random.split(key)
     pretraining = str(model_cfg.get("pretraining", "random")).lower()
@@ -241,5 +264,5 @@ def build_classifier(
             key, None, num_classes=num_classes, **overrides
         )
     if dense:
-        return _as_dense(classifier, dense_key, num_classes)
+        return _as_dense(classifier, dense_key, num_classes, readout=dense_readout)
     return classifier

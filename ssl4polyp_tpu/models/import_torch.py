@@ -37,8 +37,21 @@ __all__ = [
 
 
 def load_torch_state_dict(path: str | Path, key: Optional[str] = "model") -> Dict[str, np.ndarray]:
-    """Read a torch ``.pth`` checkpoint into a flat numpy state dict."""
-    import torch  # host-side interop only; never on the compute path
+    """Read a torch ``.pth`` checkpoint into a flat numpy state dict.
+
+    Torch-free by default: :mod:`ssl4polyp_tpu.models.pth_reader` parses
+    torch's zip/legacy serialization with numpy (TPU hosts need no torch —
+    SURVEY §7 hard-part 6).  Falls back to ``torch.load`` only for exotic
+    object graphs outside the reader's restricted subset, and only when
+    torch is importable (it is an optional extra, ``pyproject.toml``).
+    """
+    from .pth_reader import TorchUnpickleError, read_pth_state_dict
+
+    try:
+        return read_pth_state_dict(path, key=key)
+    except TorchUnpickleError:
+        pass  # fall through to torch for non-tensor object graphs
+    import torch  # optional host-side interop; never on the compute path
 
     payload = torch.load(str(path), map_location="cpu", weights_only=False)
     state = payload

@@ -397,6 +397,13 @@ def run_blocks(
     # HBM) is the A/B candidate (BENCH_MLP=full).  3-D streams always "off".
     if mlp_fusion is None:
         mlp_fusion = "fc1"
+    if mlp_fusion not in ("off", "fc1", "full", "full_ln"):
+        # A typo'd BENCH_MLP value must fail loudly, not silently A/B the
+        # wrong kernel configuration (advisor finding, round 3).
+        raise ValueError(
+            f"mlp_fusion must be one of 'off'/'fc1'/'full'/'full_ln', "
+            f"got {mlp_fusion!r}"
+        )
     mlp_kernel = mlp_fusion if flatten else "off"
 
     qkv_ln = qkv_ln_fusion and flatten

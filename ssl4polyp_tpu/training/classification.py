@@ -1064,6 +1064,11 @@ def _model_cfg_meta(ctx: TrainContext) -> Dict[str, Any]:
         "pos_embed": cfg.pos_embed,
         "out_token": cfg.out_token,
         "num_classes": cfg.num_classes,
+        # Record the RESOLVED token padding (None → 0 = explicit no-pad):
+        # padding changes bf16 reduction order at fp-noise scale, so a
+        # frozen-τ eval must rebuild with the producing run's padding, not
+        # the eval host's auto policy (advisor finding, round 3).
+        "pad_tokens_to": int(cfg.pad_tokens_to or 0),
     }
 
 

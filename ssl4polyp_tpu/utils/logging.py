@@ -56,12 +56,20 @@ class RunLogger:
             return
         self.output_dir.mkdir(parents=True, exist_ok=True)
         if enable_tensorboard:
+            tb_dir = str(self.output_dir / "tb" / stem)
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
-                self.tb = SummaryWriter(log_dir=str(self.output_dir / "tb" / stem))
+                self.tb = SummaryWriter(log_dir=tb_dir)
             except Exception:
-                self.tb = _NoOpWriter()
+                # Torch-free hosts: the pure-python scalar event writer
+                # produces files TensorBoard loads natively (tb_events.py).
+                try:
+                    from ssl4polyp_tpu.utils.tb_events import ScalarEventWriter
+
+                    self.tb = ScalarEventWriter(tb_dir)
+                except Exception:
+                    self.tb = _NoOpWriter()
 
     def scalar(self, tag: str, value: float, step: int) -> None:
         try:

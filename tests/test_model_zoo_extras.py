@@ -59,6 +59,68 @@ def test_dpt_decoder_shapes(rng_key):
     assert bool(jnp.isfinite(out).all())
 
 
+def test_dpt_readout_variants(rng_key):
+    """All three cls-readout operators (reference DPT_decoder.py:21-60):
+    shapes, differentiability, and the semantics that distinguish them."""
+    from ssl4polyp_tpu.models.dpt import DPTConfig, dpt_forward, init_dpt
+
+    taps = [jax.random.normal(jax.random.PRNGKey(i), (2, 17, 32)) for i in range(4)]
+    outs = {}
+    for readout in ("ignore", "add", "project"):
+        cfg = DPTConfig(embed_dim=32, num_classes=2, features=16, grid_size=4,
+                        reassemble_channels=(8, 16, 24, 32), readout=readout)
+        params = init_dpt(rng_key, cfg)
+        has_proj = "readout_project" in params["reassemble"][0]
+        assert has_proj == (readout == "project")
+        out = dpt_forward(params, taps, cfg)
+        assert out.shape == (2, 32, 32, 2)
+        assert bool(jnp.isfinite(out).all())
+        outs[readout] = out
+
+        # grads flow through the readout path (incl. the projection)
+        def loss(p):
+            return jnp.sum(dpt_forward(p, taps, cfg) ** 2)
+
+        grads = jax.grad(loss)(params)
+        if readout == "project":
+            g = grads["reassemble"][0]["readout_project"]["kernel"]
+            assert float(jnp.abs(g).sum()) > 0
+
+    # "ignore" vs "add" share params (same init consumption order for the
+    # non-project variants) but must differ whenever the cls token is
+    # non-zero; zero cls tokens make them coincide.
+    assert not bool(jnp.allclose(outs["ignore"], outs["add"]))
+    zero_cls = [t.at[:, :1, :].set(0.0) for t in taps]
+    cfg_i = DPTConfig(embed_dim=32, num_classes=2, features=16, grid_size=4,
+                      reassemble_channels=(8, 16, 24, 32), readout="ignore")
+    cfg_a = DPTConfig(embed_dim=32, num_classes=2, features=16, grid_size=4,
+                      reassemble_channels=(8, 16, 24, 32), readout="add")
+    params = init_dpt(rng_key, cfg_i)
+    assert bool(jnp.allclose(dpt_forward(params, zero_cls, cfg_i),
+                             dpt_forward(params, zero_cls, cfg_a), atol=1e-6))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        init_dpt(rng_key, DPTConfig(readout="bogus"))
+
+
+def test_dense_readout_factory_plumbing(rng_key):
+    from ssl4polyp_tpu.models.factory import build_classifier
+
+    model = build_classifier(
+        rng_key, {"pretraining": "random", "dense": True,
+                  "dense_readout": "project"},
+        num_classes=2, img_size=32, patch_size=16, embed_dim=32, depth=2,
+        num_heads=4,
+    )
+    assert model.dpt_cfg.readout == "project"
+    assert "readout_project" in model.params["dpt"]["reassemble"][0]
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    out = model.apply(model.params, images)
+    assert out.shape[0] == 2 and out.shape[-1] == 2
+
+
 def test_run_blocks_collect_taps(rng_key):
     from ssl4polyp_tpu.models import layers
     from ssl4polyp_tpu.models.dpt import TAP_BLOCKS

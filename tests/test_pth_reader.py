@@ -1,0 +1,154 @@
+"""Torch-free ``.pth`` reading (models/pth_reader.py).
+
+Checkpoints are WRITTEN with real torch (available in this image) and read
+back with torch blocked from ``sys.modules`` — proving a TPU host without a
+torch installation can import the published MAE checkpoints
+(reference load sites: ``src/ssl4polyp/models/models.py:168-175``).
+"""
+
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from ssl4polyp_tpu.models.pth_reader import (  # noqa: E402
+    TorchUnpickleError,
+    read_pth,
+    read_pth_state_dict,
+)
+
+
+class _BlockTorch:
+    """Make any ``import torch`` inside the block fail loudly."""
+
+    def __enter__(self):
+        self._saved = {
+            name: sys.modules.pop(name)
+            for name in list(sys.modules)
+            if name == "torch" or name.startswith("torch.")
+        }
+        sys.modules["torch"] = None  # import torch -> ImportError
+        return self
+
+    def __exit__(self, *exc):
+        sys.modules.pop("torch", None)
+        sys.modules.update(self._saved)
+        return False
+
+
+def _state_dict():
+    gen = torch.Generator().manual_seed(0)
+    return {
+        "weight": torch.randn(4, 3, generator=gen),
+        "bias": torch.randn(4, generator=gen),
+        "embed": torch.randn(2, 5, 6, generator=gen, dtype=torch.float64),
+        "counts": torch.arange(7, dtype=torch.int64),
+        "flag": torch.tensor(True),
+        "half": torch.randn(3, 3, generator=gen).to(torch.float16),
+        "bf16": torch.randn(3, 3, generator=gen).to(torch.bfloat16),
+    }
+
+
+def _assert_matches(loaded, reference):
+    assert set(loaded) == set(reference)
+    for name, tensor in reference.items():
+        expected = tensor.to(torch.float32).numpy() if tensor.dtype == torch.bfloat16 \
+            else tensor.numpy()
+        got = loaded[name]
+        if got.dtype.name == "bfloat16":
+            got = got.astype(np.float32)
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_zip_format_roundtrip(tmp_path):
+    state = _state_dict()
+    path = tmp_path / "ckpt.pth"
+    torch.save({"model": state, "epoch": 3}, str(path))
+
+    with _BlockTorch():
+        loaded = read_pth_state_dict(path)
+        full = read_pth(path)
+    _assert_matches(loaded, state)
+    assert full["epoch"] == 3
+
+
+def test_noncontiguous_and_sliced_tensors(tmp_path):
+    gen = torch.Generator().manual_seed(1)
+    base = torch.randn(6, 8, generator=gen)
+    state = {
+        "transposed": base.t(),          # non-contiguous stride
+        "sliced": base[1:5, 2:7],        # offset + ragged view
+        "scalar": torch.tensor(2.5),
+    }
+    path = tmp_path / "views.pth"
+    torch.save(state, str(path))
+    with _BlockTorch():
+        loaded = read_pth_state_dict(path, key=None)
+    np.testing.assert_array_equal(loaded["transposed"], base.t().numpy())
+    np.testing.assert_array_equal(loaded["sliced"], base[1:5, 2:7].numpy())
+    np.testing.assert_array_equal(loaded["scalar"], np.float32(2.5))
+
+
+def test_legacy_format_roundtrip(tmp_path):
+    state = {k: v for k, v in _state_dict().items() if v.dtype != torch.bfloat16}
+    path = tmp_path / "legacy.pth"
+    torch.save(state, str(path), _use_new_zipfile_serialization=False)
+    with _BlockTorch():
+        loaded = read_pth_state_dict(path, key=None)
+    _assert_matches(loaded, state)
+
+
+def test_rejects_arbitrary_globals(tmp_path):
+    path = tmp_path / "evil.pth"
+    path.write_bytes(pickle.dumps(eval))  # os-level callable in the graph
+    with pytest.raises(TorchUnpickleError):
+        read_pth(path)
+
+
+def test_mae_checkpoint_import_torch_free(tmp_path):
+    """End-to-end: a reference-layout MAE encoder checkpoint written by
+    torch loads through load_torch_state_dict + mae_params_from_torch with
+    torch blocked, and matches the torch-read values."""
+    from ssl4polyp_tpu.models.import_torch import (
+        load_torch_state_dict,
+        mae_params_from_torch,
+    )
+    from ssl4polyp_tpu.models.vit import ViTConfig
+
+    gen = torch.Generator().manual_seed(7)
+    D, depth, P, C = 16, 2, 4, 3
+    state = {
+        "cls_token": torch.randn(1, 1, D, generator=gen),
+        "pos_embed": torch.randn(1, 10, D, generator=gen),
+        "patch_embed.proj.weight": torch.randn(D, C, P, P, generator=gen),
+        "patch_embed.proj.bias": torch.randn(D, generator=gen),
+        "norm.weight": torch.randn(D, generator=gen),
+        "norm.bias": torch.randn(D, generator=gen),
+    }
+    for i in range(depth):
+        for sub, shape in [
+            ("norm1.weight", (D,)), ("norm1.bias", (D,)),
+            ("attn.qkv.weight", (3 * D, D)), ("attn.qkv.bias", (3 * D,)),
+            ("attn.proj.weight", (D, D)), ("attn.proj.bias", (D,)),
+            ("norm2.weight", (D,)), ("norm2.bias", (D,)),
+            ("mlp.fc1.weight", (4 * D, D)), ("mlp.fc1.bias", (4 * D,)),
+            ("mlp.fc2.weight", (D, 4 * D)), ("mlp.fc2.bias", (D,)),
+        ]:
+            state[f"blocks.{i}.{sub}"] = torch.randn(*shape, generator=gen)
+    path = tmp_path / "mae.pth"
+    torch.save({"model": state}, str(path))
+
+    cfg = ViTConfig(img_size=12, patch_size=P, embed_dim=D, depth=depth,
+                    num_heads=4)
+    with _BlockTorch():
+        numpy_state = load_torch_state_dict(path)
+        params = mae_params_from_torch(numpy_state, cfg)
+    np.testing.assert_allclose(
+        params["blocks"]["attn"]["qkv"]["kernel"][1],
+        state["blocks.1.attn.qkv.weight"].numpy().T,
+        rtol=0, atol=0,
+    )
+    assert params["patch_embed"]["kernel"].shape == (P * P * C, D)
