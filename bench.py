@@ -453,18 +453,20 @@ def bench_input() -> None:
     index = ImageFolderIndex(corpus, no_train_dir=True)
     results = {}
     best = 0.0
-    for workers in worker_grid:
-        loader = PretrainLoader(
-            index, batch, image_size=224, num_workers=workers,
-            prefetch_batches=4,
-        )
-        n_images = 0
-        t0 = time.perf_counter()
-        for images in loader:
-            n_images += images.shape[0]
-        rate = n_images / (time.perf_counter() - t0)
-        results[f"pretrain_w{workers}"] = round(rate, 1)
-        best = max(best, rate)
+    for use_native in (False, True):
+        for workers in worker_grid:
+            loader = PretrainLoader(
+                index, batch, image_size=224, num_workers=workers,
+                prefetch_batches=4, use_native=use_native,
+            )
+            n_images = 0
+            t0 = time.perf_counter()
+            for images in loader:
+                n_images += images.shape[0]
+            rate = n_images / (time.perf_counter() - t0)
+            tag = "native" if use_native else "pil"
+            results[f"pretrain_{tag}_w{workers}"] = round(rate, 1)
+            best = max(best, rate)
 
     # Eval-path decode A/B on the first `batch` frames.
     paths = index.paths[:batch]

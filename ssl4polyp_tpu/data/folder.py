@@ -15,11 +15,14 @@ import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 import numpy as np
 
-__all__ = ["ImageFolderIndex", "PretrainLoader", "random_resized_crop"]
+__all__ = [
+    "ImageFolderIndex", "PretrainLoader", "random_resized_crop",
+    "sample_crop_box",
+]
 
 _IMAGE_SUFFIXES = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 
@@ -42,6 +45,41 @@ class ImageFolderIndex:
         return len(self.paths)
 
 
+def sample_crop_box(
+    width: int,
+    height: int,
+    rng: np.random.Generator,
+    scale: tuple[float, float] = (0.2, 1.0),
+    ratio: tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop box sampling (10 tries then center
+    fallback) → ``(y0, x0, h, w)`` in pixels.
+
+    Split from the resize so the PIL and native decode paths consume the
+    SAME rng draws — the augmentation stream is identical whichever decoder
+    produced the pixels."""
+    area = width * height
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = math.exp(rng.uniform(log_ratio[0], log_ratio[1]))
+        w = int(round(math.sqrt(target_area * aspect)))
+        h = int(round(math.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            x0 = int(rng.integers(0, width - w + 1))
+            y0 = int(rng.integers(0, height - h + 1))
+            return y0, x0, h, w
+    # Fallback: center crop at the closest valid aspect
+    in_ratio = width / height
+    if in_ratio < ratio[0]:
+        w, h = width, int(round(width / ratio[0]))
+    elif in_ratio > ratio[1]:
+        w, h = int(round(height * ratio[1])), height
+    else:
+        w, h = width, height
+    return (height - h) // 2, (width - w) // 2, h, w
+
+
 def random_resized_crop(
     img,
     rng: np.random.Generator,
@@ -54,29 +92,9 @@ def random_resized_crop(
     from PIL import Image
 
     width, height = img.size
-    area = width * height
-    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
-    for _ in range(10):
-        target_area = area * rng.uniform(scale[0], scale[1])
-        aspect = math.exp(rng.uniform(log_ratio[0], log_ratio[1]))
-        w = int(round(math.sqrt(target_area * aspect)))
-        h = int(round(math.sqrt(target_area / aspect)))
-        if 0 < w <= width and 0 < h <= height:
-            x0 = int(rng.integers(0, width - w + 1))
-            y0 = int(rng.integers(0, height - h + 1))
-            crop = img.crop((x0, y0, x0 + w, y0 + h))
-            return crop.resize((out_size, out_size), Image.BICUBIC)
-    # Fallback: center crop at the closest valid aspect
-    in_ratio = width / height
-    if in_ratio < ratio[0]:
-        w, h = width, int(round(width / ratio[0]))
-    elif in_ratio > ratio[1]:
-        w, h = int(round(height * ratio[1])), height
-    else:
-        w, h = width, height
-    x0 = (width - w) // 2
-    y0 = (height - h) // 2
-    return img.crop((x0, y0, x0 + w, y0 + h)).resize((out_size, out_size), Image.BICUBIC)
+    y0, x0, h, w = sample_crop_box(width, height, rng, scale, ratio)
+    crop = img.crop((x0, y0, x0 + w, y0 + h))
+    return crop.resize((out_size, out_size), Image.BICUBIC)
 
 
 class PretrainLoader:
@@ -94,6 +112,7 @@ class PretrainLoader:
         process_index: int = 0,
         process_count: int = 1,
         drop_last: bool = True,
+        use_native: Optional[bool] = None,
     ) -> None:
         self.index = index
         self.batch_size = batch_size
@@ -105,6 +124,11 @@ class PretrainLoader:
         self.process_count = process_count
         self.drop_last = drop_last
         self.epoch = 0
+        # None → native when the C++ decoder is buildable (the GIL-free
+        # crop+resize path); the PIL thread pool remains the fallback and
+        # yields the same augmentation stream (sample_crop_box).
+        self.use_native = use_native
+        self._dims_cache: dict[int, tuple[int, int]] = {}
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = int(epoch)
@@ -124,20 +148,85 @@ class PretrainLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _rng(self, position: int) -> np.random.Generator:
+        # Crop parameters are a pure function of (seed, epoch, sample).
+        return np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch * 7_919 + position) % (2 ** 63)
+        )
+
     def _decode(self, position: int) -> np.ndarray:
         from PIL import Image
 
-        # Crop parameters are a pure function of (seed, epoch, sample).
-        rng = np.random.default_rng(
-            (self.seed * 1_000_003 + self.epoch * 7_919 + position) % (2 ** 63)
-        )
+        rng = self._rng(position)
         with Image.open(self.index.paths[position]) as img:
             rgb = img.convert("RGB")
-            crop = random_resized_crop(rgb, rng, out_size=self.image_size)
+            width, height = rgb.size
+            y0, x0, h, w = sample_crop_box(width, height, rng)
+            crop = rgb.crop((x0, y0, x0 + w, y0 + h)).resize(
+                (self.image_size, self.image_size), Image.BICUBIC
+            )
             array = np.asarray(crop, dtype=np.uint8)
         if rng.random() < 0.5:  # horizontal flip
             array = array[:, ::-1]
         return np.ascontiguousarray(array)
+
+    def _native_enabled(self) -> bool:
+        if self.use_native is False:
+            return False
+        from ssl4polyp_tpu.native import native_available
+
+        return native_available()
+
+    def _dims(self, position: int) -> Optional[tuple[int, int]]:
+        cached = self._dims_cache.get(position)
+        if cached is None:
+            from ssl4polyp_tpu.native import jpeg_dims
+
+            cached = jpeg_dims(self.index.paths[position])
+            if cached is not None:
+                self._dims_cache[position] = cached
+        return cached
+
+    def _native_batch(self, chunk: List[int]) -> Optional[np.ndarray]:
+        """Whole-batch decode through the C++ pool (no GIL on the hot path).
+
+        Consumes the SAME rng stream as :meth:`_decode` — the augmentation
+        is identical; only the resample arithmetic differs (the native
+        cubic matches PIL's filter-scaled bicubic convention).  Any frame
+        the native path cannot handle falls back to PIL individually.
+        """
+        from ssl4polyp_tpu.native import decode_crop_resize_batch_status
+
+        n = len(chunk)
+        crops = np.empty((n, 4), dtype=np.float64)
+        flips = np.empty((n,), dtype=np.uint8)
+        paths = []
+        pil_fallback = []
+        for j, position in enumerate(chunk):
+            dims = self._dims(position)
+            if dims is None:  # non-JPEG or unreadable header
+                pil_fallback.append(j)
+                crops[j] = (0.0, 0.0, 1.0, 1.0)
+                flips[j] = 0
+                paths.append(self.index.paths[position])
+                continue
+            width, height = dims
+            rng = self._rng(position)
+            y0, x0, h, w = sample_crop_box(width, height, rng)
+            crops[j] = (y0 / height, x0 / width, h / height, w / width)
+            flips[j] = rng.random() < 0.5
+            paths.append(self.index.paths[position])
+        result = decode_crop_resize_batch_status(
+            paths, self.image_size, self.image_size, crops, flips,
+            n_threads=self.num_workers,
+        )
+        if result is None:
+            return None
+        images, ok = result
+        retry = sorted(set(pil_fallback) | set(np.nonzero(~ok)[0].tolist()))
+        for j in retry:
+            images[j] = self._decode(chunk[j])
+        return images
 
     def __iter__(self) -> Iterator[np.ndarray]:
         order = self._order()
@@ -147,13 +236,24 @@ class PretrainLoader:
         out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        native = self._native_enabled()
+
         def producer() -> None:
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for b in range(n_batches):
                     if stop.is_set():
                         break
-                    chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    images = list(pool.map(self._decode, [int(p) for p in chunk]))
+                    chunk = [
+                        int(p)
+                        for p in order[b * self.batch_size : (b + 1) * self.batch_size]
+                    ]
+                    images = None
+                    if native:
+                        batch = self._native_batch(chunk)
+                        if batch is not None:
+                            images = list(batch)
+                    if images is None:
+                        images = list(pool.map(self._decode, chunk))
                     if len(images) < self.batch_size:
                         pad = self.batch_size - len(images)
                         images.extend([images[-1]] * pad)

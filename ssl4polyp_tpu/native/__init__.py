@@ -23,6 +23,9 @@ __all__ = [
     "decode_resize_batch",
     "decode_resize_batch_status",
     "decode_resize",
+    "decode_crop_resize",
+    "decode_crop_resize_batch_status",
+    "jpeg_dims",
     "build_library",
 ]
 
@@ -105,6 +108,25 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.decode_resize_batch_status.restype = ctypes.c_int
+        lib.jpeg_dims.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.jpeg_dims.restype = ctypes.c_int
+        lib.decode_crop_resize.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int,
+        ]
+        lib.decode_crop_resize.restype = ctypes.c_int
+        lib.decode_crop_resize_batch_status.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.decode_crop_resize_batch_status.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -166,6 +188,84 @@ def decode_resize_batch_status(
         array_type(*encoded), n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_h, out_w, int(n_threads),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out, status.astype(bool)
+
+
+def jpeg_dims(path: str | os.PathLike) -> Optional[tuple[int, int]]:
+    """(width, height) from the JPEG header only; None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    width = ctypes.c_int()
+    height = ctypes.c_int()
+    if lib.jpeg_dims(str(path).encode(), ctypes.byref(width),
+                     ctypes.byref(height)) != 0:
+        return None
+    return int(width.value), int(height.value)
+
+
+def decode_crop_resize(
+    path: str | os.PathLike,
+    out_h: int,
+    out_w: int,
+    crop_frac: Sequence[float],
+    hflip: bool = False,
+) -> Optional[np.ndarray]:
+    """Random-resized-crop decode of one frame.
+
+    ``crop_frac`` = (fy, fx, fh, fw) fractions of the FULL image.  Decodes
+    at the smallest DCT scale covering the scaled crop, skips rows outside
+    it, cubic-resizes to (out_h, out_w, 3); None when unavailable/failed.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    fy, fx, fh, fw = (float(v) for v in crop_frac)
+    status = lib.decode_crop_resize(
+        str(path).encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_h, out_w, fy, fx, fh, fw, int(bool(hflip)),
+    )
+    return out if status == 0 else None
+
+
+def decode_crop_resize_batch_status(
+    paths: Sequence[str | os.PathLike],
+    out_h: int,
+    out_w: int,
+    crops: np.ndarray,
+    hflips: np.ndarray,
+    n_threads: int = 8,
+    out: Optional[np.ndarray] = None,
+) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Batched random-resized-crop decode into (n, out_h, out_w, 3) uint8.
+
+    ``crops``: (n, 4) float64 [fy, fx, fh, fw] fractions; ``hflips``: (n,)
+    bools.  Returns ``(images, ok)`` or None when the library is
+    unavailable; failed frames are zero-filled with ``ok=False``.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    crops = np.ascontiguousarray(crops, dtype=np.float64)
+    flips = np.ascontiguousarray(hflips, dtype=np.uint8)
+    if crops.shape != (n, 4) or flips.shape != (n,):
+        raise ValueError(f"crops {crops.shape} / hflips {flips.shape} for n={n}")
+    if out is None:
+        out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
+    status = np.zeros((n,), dtype=np.uint8)
+    encoded: List[bytes] = [str(p).encode() for p in paths]
+    array_type = ctypes.c_char_p * n
+    lib.decode_crop_resize_batch_status(
+        array_type(*encoded), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_h, out_w,
+        crops.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(n_threads),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out, status.astype(bool)
