@@ -58,13 +58,15 @@ def _split_heads(qkv, base: int, num_heads: int, head_dim: int):
 def _batched_weights(q, k, n_valid: int, scale: float, f32: bool):
     """Masked softmax weights for all heads at once.
 
-    q/k: (H·G, N, hd) → weights (H·G, N, N) fp32.
+    q/k: (H·G, N, hd) → weights (H·G, N, N) fp32.  The 1/√hd scale is
+    folded into the (H·G, N, hd) Q operand instead of the (H·G, N, N)
+    score tensor — N/hd ≈ 6× less VPU multiply work per block.
     """
     scores = jax.lax.dot_general(
-        q, k,
+        q * jnp.asarray(scale, q.dtype), k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
     n = scores.shape[-1]
     if n_valid < n:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=2)
@@ -117,17 +119,18 @@ def _bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, n_valid, num_heads, head_dim, sc
         preferred_element_type=jnp.float32,
     )
     tmp = jnp.sum(dw * weights, axis=-1, keepdims=True)
-    ds = (weights * (dw - tmp) * scale).astype(cdtype)
+    # Scale folds into the small (H·G, N, hd) outputs, not the (N, N) ds.
+    ds = (weights * (dw - tmp)).astype(cdtype)
     dq = jax.lax.dot_general(
         ds, k,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ) * scale
     dk = jax.lax.dot_general(  # dSᵀ Q
         ds, q,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ) * scale
     dq = dq.reshape(num_heads, G, N, head_dim)
     dk = dk.reshape(num_heads, G, N, head_dim)
     dv = dv.reshape(num_heads, G, N, head_dim)
@@ -322,17 +325,17 @@ def _bwd_bias_kernel(qkv_ref, bias_ref, dout_ref, dqkv_ref, dbias_ref, *,
         preferred_element_type=jnp.float32,
     )
     tmp = jnp.sum(dw * weights, axis=-1, keepdims=True)
-    ds = (weights * (dw - tmp) * scale).astype(cdtype)
+    ds = (weights * (dw - tmp)).astype(cdtype)
     dq = jax.lax.dot_general(
         ds, k,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ) * scale
     dk = jax.lax.dot_general(
         ds, q,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ) * scale
     dq = dq.reshape(num_heads, G, N, head_dim)
     dk = dk.reshape(num_heads, G, N, head_dim)
     dv = dv.reshape(num_heads, G, N, head_dim)

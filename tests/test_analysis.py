@@ -748,3 +748,60 @@ def test_exp5a_missing_parent_warns(tmp_path):
     with open(report_dir / "exp5a_domain_shift.csv", newline="") as handle:
         rows = list(_csv.DictReader(handle))
     assert all(int(r["n"]) == 0 for r in rows)
+
+
+def test_paired_bootstrap_indices_order_independent():
+    """indices_for maps an already-drawn case-id multiset into each run's
+    OWN index arrays — pairing must not depend on CSV row order (advisor
+    finding, round 3: positional reuse silently unpaired reordered runs)."""
+    import numpy as np
+
+    from ssl4polyp_tpu.analysis.exp_reports import _Exp3Run
+
+    base = object.__new__(_Exp3Run)
+    cont = object.__new__(_Exp3Run)
+    # same cases, enumerated in different row orders
+    base.cases = {"a": np.array([0, 1]), "b": np.array([2]), "c": np.array([3, 4])}
+    cont.cases = {"a": np.array([3, 4]), "b": np.array([0]), "c": np.array([1, 2])}
+
+    drawn = ["c", "a", "c"]
+    idx_b = base.indices_for(drawn)
+    idx_c = cont.indices_for(drawn)
+    np.testing.assert_array_equal(idx_b, [3, 4, 0, 1, 3, 4])
+    np.testing.assert_array_equal(idx_c, [1, 2, 3, 4, 1, 2])
+
+    # exp5a centre variant behaves identically
+    from ssl4polyp_tpu.analysis.exp5a_domain_shift import Exp5aView
+
+    view = object.__new__(Exp5aView)
+    view.centers = {"c1": np.array([5]), "c2": np.array([6, 7])}
+    np.testing.assert_array_equal(
+        view.indices_for_centers(["c2", "c2", "c1"]), [6, 7, 6, 7, 5]
+    )
+
+
+def test_exp5a_view_raises_guardrail_violation():
+    from ssl4polyp_tpu.analysis.exp5a_domain_shift import Exp5aView
+    from ssl4polyp_tpu.analysis.guardrails import GuardrailViolation
+
+    class FakeRun:
+        frames = ()
+        metrics_path = "<fake>"
+        primary_tau = None
+
+    import pytest
+
+    with pytest.raises(GuardrailViolation):
+        Exp5aView(FakeRun(), model="m", seed=13)
+
+
+def test_run_blocks_rejects_unknown_mlp_fusion(rng_key):
+    import jax.numpy as jnp
+    import pytest
+
+    from ssl4polyp_tpu.models import layers
+
+    blocks = layers.init_blocks(rng_key, 1, 16, 2.0)
+    x = jnp.zeros((2, 8, 16))
+    with pytest.raises(ValueError, match="mlp_fusion"):
+        layers.run_blocks(x, blocks, 2, mlp_fusion="ful")
