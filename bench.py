@@ -122,6 +122,9 @@ def bench_finetune() -> None:
     batch = int(_env("BENCH_BATCH")) * n_devices
     classifier = get_imagenet_or_random_vit(
         jax.random.PRNGKey(0), None, num_classes=2,
+        # CPU smoke only: shrink the model so the fused-dispatch path can
+        # be compile-checked without a full ViT-B CPU build.
+        depth=int(os.environ.get("BENCH_FT_DEPTH", "12")),
         unroll_blocks=_env("BENCH_UNROLL") == "1",
         use_pallas_attention=_env("BENCH_PALLAS") == "1",
         # BENCH_VIT_PAD=0 opts out of the factory's sublane padding (A/B).
@@ -136,6 +139,11 @@ def bench_finetune() -> None:
     opt_state = optim.adamw_init(params)
     ones = jax.tree_util.tree_map(lambda _: 1.0, params)
     wd_scale = optim.no_weight_decay_scales(params)
+
+    # BENCH_FT_STEPS_PER_CALL=K fuses K optimizer steps per dispatch (the
+    # engine's plan.steps_per_call path) — A/B knob, default 1 (the
+    # round-3 measured operating point).
+    ft_steps = max(1, int(os.environ.get("BENCH_FT_STEPS_PER_CALL", "1")))
 
     def step(p, s, images_u8, labels):
         def loss_fn(p):
@@ -155,19 +163,39 @@ def bench_finetune() -> None:
         )
         return p, s, loss
 
+    def fused(p, s, images_u8, labels):
+        def body(carry, xs):
+            p, s = carry
+            p, s, loss = step(p, s, xs[0], xs[1])
+            return (p, s), loss
+
+        (p, s), losses = jax.lax.scan(body, (p, s), (images_u8, labels))
+        return p, s, losses[-1]
+
     replicated = NamedSharding(mesh, P())
-    sharded = NamedSharding(mesh, P("data"))
-    jit_step = jax.jit(
-        step,
-        in_shardings=(replicated, replicated, sharded, sharded),
-        out_shardings=(replicated, replicated, replicated),
-        donate_argnums=(0, 1),
-    )
+    if ft_steps > 1:
+        sharded = NamedSharding(mesh, P(None, "data"))
+        jit_step = jax.jit(
+            fused,
+            in_shardings=(replicated, replicated, sharded, sharded),
+            out_shardings=(replicated, replicated, replicated),
+            donate_argnums=(0, 1),
+        )
+    else:
+        sharded = NamedSharding(mesh, P("data"))
+        jit_step = jax.jit(
+            step,
+            in_shardings=(replicated, replicated, sharded, sharded),
+            out_shardings=(replicated, replicated, replicated),
+            donate_argnums=(0, 1),
+        )
     rng = np.random.default_rng(0)
+    img_shape = (ft_steps, batch, 224, 224, 3) if ft_steps > 1 else (batch, 224, 224, 3)
+    lbl_shape = (ft_steps, batch) if ft_steps > 1 else (batch,)
     images = jax.device_put(
-        rng.integers(0, 255, (batch, 224, 224, 3), dtype=np.uint8), sharded
+        rng.integers(0, 255, img_shape, dtype=np.uint8), sharded
     )
-    labels = jax.device_put(rng.integers(0, 2, (batch,), dtype=np.int32), sharded)
+    labels = jax.device_put(rng.integers(0, 2, lbl_shape, dtype=np.int32), sharded)
     params = jax.device_put(params, replicated)
     opt_state = jax.device_put(opt_state, replicated)
     state = {"p": params, "s": opt_state}
@@ -179,7 +207,9 @@ def bench_finetune() -> None:
         state["p"], state["s"], loss = jit_step(state["p"], state["s"], images, labels)
         return loss
 
-    per_chip, per_trial = _measure(call, images_per_iter=batch, n_devices=n_devices)
+    per_chip, per_trial = _measure(
+        call, images_per_iter=batch * ft_steps, n_devices=n_devices
+    )
     _emit("vitb16_finetune_throughput", per_chip, per_trial,
           baseline=float(os.environ.get("BENCH_FT_BASELINE", "1650")))
 

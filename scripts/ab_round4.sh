@@ -50,6 +50,8 @@ screen ft-baseline             BENCH_WORKLOAD=finetune
 screen ft-full_ln              BENCH_WORKLOAD=finetune BENCH_MLP=full_ln
 screen ft-qkv-ln               BENCH_WORKLOAD=finetune BENCH_QKV_LN=1
 screen ft-nopad                BENCH_WORKLOAD=finetune BENCH_VIT_PAD=0
+screen ft-steps8               BENCH_WORKLOAD=finetune BENCH_FT_STEPS_PER_CALL=8
+screen ft-steps4               BENCH_WORKLOAD=finetune BENCH_FT_STEPS_PER_CALL=4
 
 # 5. Host input pipeline (no TPU needed, but record alongside).
 run input-pipeline             BENCH_WORKLOAD=input

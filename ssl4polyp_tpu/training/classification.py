@@ -291,7 +291,19 @@ def _loss_from_logits(logits, labels, valid, loss_mode, pos_weight, class_weight
     return jnp.sum(per * valid_f) / jnp.maximum(jnp.sum(valid_f), 1.0)
 
 
-def make_train_step(ctx: TrainContext):
+def make_train_step(ctx: TrainContext, steps_per_call: int = 1):
+    """Build the jitted fine-tune step.
+
+    ``steps_per_call > 1`` fuses that many optimizer steps into ONE device
+    dispatch via ``lax.scan`` over stacked batches — the same math as K
+    sequential dispatches (each step keeps its own batch, validity mask,
+    augmentation key, and schedule lr; floats agree to fp32 round-off, as
+    XLA re-fuses the scanned body), amortising the fixed dispatch latency
+    exactly like the MAE engine's ``PretrainSettings.steps_per_call``
+    (PERF_NOTES round 1: the relay adds ~18 ms/dispatch).
+    Fused signature: ``(params, opt_state, images (K,B,H,W,3),
+    labels (K,B), valid (K,B), keys (K,2), lrs (K,), lr_scale, wd_scale)``.
+    """
     cfg = ctx.classifier.cfg
     loss_mode = ctx.loss_mode
     pos_weight = ctx.pos_weight
@@ -317,11 +329,40 @@ def make_train_step(ctx: TrainContext):
         return params, opt_state, {"loss": loss, "grad_norm": grad_norm}
 
     replicated = NamedSharding(ctx.mesh, P())
-    sharded = NamedSharding(ctx.mesh, P("data"))
+    if steps_per_call <= 1:
+        sharded = NamedSharding(ctx.mesh, P("data"))
+        return jax.jit(
+            step,
+            in_shardings=(replicated, replicated, sharded, sharded, sharded,
+                          replicated, replicated, replicated, replicated),
+            out_shardings=(replicated, replicated, replicated),
+            donate_argnums=(0, 1),
+        )
+
+    def fused(params, opt_state, images_u8, labels, valid, keys, lrs,
+              lr_scale, wd_scale):
+        def body(carry, xs):
+            p, s = carry
+            chunk_images, chunk_labels, chunk_valid, key, lr = xs
+            p, s, metrics = step(
+                p, s, chunk_images, chunk_labels, chunk_valid, key, lr,
+                lr_scale, wd_scale,
+            )
+            return (p, s), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), (images_u8, labels, valid, keys, lrs)
+        )
+        out = {"loss": metrics["loss"],  # (K,) per-step losses
+               "grad_norm": metrics["grad_norm"][-1]}
+        return params, opt_state, out
+
+    chunk_sharded = NamedSharding(ctx.mesh, P(None, "data"))
     return jax.jit(
-        step,
-        in_shardings=(replicated, replicated, sharded, sharded, sharded,
-                      replicated, replicated, replicated, replicated),
+        fused,
+        in_shardings=(replicated, replicated, chunk_sharded, chunk_sharded,
+                      chunk_sharded, replicated, replicated, replicated,
+                      replicated),
         out_shardings=(replicated, replicated, replicated),
         donate_argnums=(0, 1),
     )
@@ -610,7 +651,14 @@ def run_classification_training(
         depth = ctx.classifier.cfg.depth
         schedule_runtime = ScheduleRuntime(plan.finetune_schedule, plan.lr, depth)
         wd_scale = optim.no_weight_decay_scales(params)
-        train_step = make_train_step(ctx)
+        steps_per_call = max(1, int(plan.steps_per_call))
+        train_step = make_train_step(ctx, steps_per_call)
+        # Tail batches that don't fill a fused dispatch run through a
+        # single-step executable (filler steps would apply extra updates).
+        train_step_single = (
+            train_step if steps_per_call == 1 else make_train_step(ctx, 1)
+        )
+        chunk_sharded = NamedSharding(mesh, P(None, "data"))
         sharded = NamedSharding(mesh, P("data"))
         replicated = NamedSharding(mesh, P())
         params = jax.device_put(params, replicated)
@@ -689,31 +737,33 @@ def run_classification_training(
                 # burst; every step is averaged into train_loss and checked
                 # for finiteness (reference averages all iterations), while
                 # the slow relay only pays a sync at log points / epoch end.
-                for offset, value in enumerate(np.asarray(pending_losses, dtype=np.float64)):
+                # Entries are device scalars or (K,) per-step loss vectors
+                # from fused dispatches.
+                flat = (
+                    np.concatenate(
+                        [np.atleast_1d(np.asarray(v, dtype=np.float64)) for v in pending_losses]
+                    )
+                    if pending_losses
+                    else np.zeros((0,))
+                )
+                for offset, value in enumerate(flat):
                     if not math.isfinite(value):
-                        step_at = global_step - len(pending_losses) + offset + 1
+                        step_at = global_step - len(flat) + offset + 1
                         raise FloatingPointError(f"non-finite loss at step {step_at}")
                     losses.append(float(value))
                 pending_losses.clear()
 
             epoch_t0 = time.perf_counter()
-            for it, batch in enumerate(train_loader):
-                if it >= steps_per_epoch:
-                    break
-                if plan.max_train_steps is not None and global_step >= plan.max_train_steps:
-                    logger.text(
-                        f"reached max_train_steps={plan.max_train_steps}; stopping epoch early"
-                    )
-                    break
+            def step_lr(step_index: int) -> float:
                 if plan.finetune_schedule:
-                    lr = stage_lr
-                elif plan.scheduler == "cosine":
-                    lr = schedule(global_step)
-                elif plateau is not None:
-                    lr = plateau.scale(stage_lr)
-                else:
-                    lr = stage_lr
-                key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), it)
+                    return stage_lr
+                if plan.scheduler == "cosine":
+                    return schedule(step_index)
+                if plateau is not None:
+                    return plateau.scale(stage_lr)
+                return stage_lr
+
+            def shaped(batch):
                 images, labels, valid = batch["image"], batch["label"], batch["valid"]
                 if batch_pad:
                     images = np.concatenate(
@@ -721,25 +771,72 @@ def run_classification_training(
                     )
                     labels = np.concatenate([labels, np.zeros(batch_pad, labels.dtype)])
                     valid = np.concatenate([valid, np.zeros(batch_pad, bool)])
-                params, opt_state, metrics = train_step(
-                    params,
-                    opt_state,
-                    jax.device_put(images, sharded),
-                    jax.device_put(labels, sharded),
-                    jax.device_put(valid, sharded),
-                    key, jnp.float32(lr), lr_scale, wd_scale,
-                )
-                global_step += 1
-                pending_losses.append(metrics["loss"])
-                if it % plan.log_interval == 0:
+                return images, labels, valid
+
+            epoch_key = jax.random.fold_in(root_key, epoch)
+            iterator = iter(train_loader)
+            it = 0
+            stop_epoch = False
+            while not stop_epoch:
+                if plan.max_train_steps is not None and global_step >= plan.max_train_steps:
+                    logger.text(
+                        f"reached max_train_steps={plan.max_train_steps}; stopping epoch early"
+                    )
+                    break
+                # Collect up to steps_per_call batches for one dispatch
+                # (bounded additionally by steps_per_epoch/max_train_steps).
+                room = steps_per_epoch - it
+                if plan.max_train_steps is not None:
+                    room = min(room, plan.max_train_steps - global_step)
+                chunk: list = []
+                while len(chunk) < min(steps_per_call, room):
+                    try:
+                        chunk.append(shaped(next(iterator)))
+                    except StopIteration:
+                        stop_epoch = True
+                        break
+                if not chunk:
+                    break
+                k = len(chunk)
+                lrs = [step_lr(global_step + j) for j in range(k)]
+                keys = [jax.random.fold_in(epoch_key, it + j) for j in range(k)]
+                if steps_per_call > 1 and k == steps_per_call:
+                    params, opt_state, metrics = train_step(
+                        params,
+                        opt_state,
+                        jax.device_put(np.stack([c[0] for c in chunk]), chunk_sharded),
+                        jax.device_put(np.stack([c[1] for c in chunk]), chunk_sharded),
+                        jax.device_put(np.stack([c[2] for c in chunk]), chunk_sharded),
+                        jnp.stack(keys), jnp.asarray(lrs, jnp.float32),
+                        lr_scale, wd_scale,
+                    )
+                    pending_losses.append(metrics["loss"])
+                else:
+                    for j, (images, labels, valid) in enumerate(chunk):
+                        params, opt_state, metrics = train_step_single(
+                            params,
+                            opt_state,
+                            jax.device_put(images, sharded),
+                            jax.device_put(labels, sharded),
+                            jax.device_put(valid, sharded),
+                            keys[j], jnp.float32(lrs[j]), lr_scale, wd_scale,
+                        )
+                        pending_losses.append(metrics["loss"])
+                global_step += k
+                log_due = (it % plan.log_interval) < k if steps_per_call > 1 \
+                    else it % plan.log_interval == 0
+                it += k
+                if log_due:
                     drain_losses()
                     loss_value = losses[-1]
                     rate = throughput.tick(plan.batch_size * plan.log_interval)
                     logger.scalar("train/loss", loss_value, global_step)
-                    logger.scalar("train/lr", lr, global_step)
+                    logger.scalar("train/lr", lrs[-1], global_step)
                     logger.scalar("train/grad_norm", float(metrics["grad_norm"]), global_step)
                     if rate:
                         logger.scalar("train/images_per_sec", rate, global_step)
+                if it >= steps_per_epoch:
+                    break
 
             drain_losses()
             train_loss_last = float(np.mean(losses)) if losses else float("nan")

@@ -266,6 +266,10 @@ class RunPlan:
     image_size: int = 224
     num_workers: int = 8
     log_interval: int = 10
+    # Optimizer steps fused per device dispatch (lax.scan over stacked
+    # batches; identical math — see classification.make_train_step).  >1
+    # amortises fixed dispatch latency on high-latency links.
+    steps_per_call: int = 1
     precision: str = "bf16"
     scheduler: str = "cosine"
     warmup_epochs: int = 5
@@ -493,6 +497,7 @@ def resolve_run_plan(
         image_size=int(cfg.get("image_size", 224)),
         num_workers=int(cfg.get("num_workers", 8)),
         log_interval=int(cfg.get("log_interval", 10)),
+        steps_per_call=max(1, int(cfg.get("steps_per_call", 1))),
         precision=precision,
         scheduler=scheduler_name,
         warmup_epochs=warmup_epochs,

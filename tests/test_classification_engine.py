@@ -188,3 +188,46 @@ def test_resume_continues_training(sun_pack, tmp_path):
     log_text = (ctx2.layout.output_dir / f"{ctx2.layout.stem}.log").read_text()
     assert "resumed from" in log_text
     assert second["epochs_run"] == 2  # epoch counter reaches the plan total
+
+
+def test_steps_per_call_fusion_identical(sun_pack, tmp_path):
+    """steps_per_call=2 runs the same math as sequential dispatches — same
+    per-step keys, lrs, batches (classification.make_train_step).  XLA
+    compiles the scanned body with its own fusion choices, so floats match
+    to fp32 round-off, while decisions (tau, AUROC) must be identical."""
+    ctx1, summary1 = run_tiny(
+        tiny_cfg(epochs=1), sun_pack, tmp_path / "a",
+    )
+    cfg2 = tiny_cfg(epochs=1)
+    cfg2["steps_per_call"] = 2
+    ctx2, summary2 = run_tiny(cfg2, sun_pack, tmp_path / "b")
+
+    assert summary1["epochs_run"] == summary2["epochs_run"]
+    np.testing.assert_allclose(summary1["tau"], summary2["tau"], rtol=0, atol=0)
+
+    m1 = json.loads(
+        (ctx1.layout.output_dir / f"{ctx1.layout.stem}.metrics.json").read_text()
+    )
+    m2 = json.loads(
+        (ctx2.layout.output_dir / f"{ctx2.layout.stem}.metrics.json").read_text()
+    )
+    assert m1["test_primary"]["auroc"] == m2["test_primary"]["auroc"]
+    np.testing.assert_allclose(m1["val"]["loss"], m2["val"]["loss"], rtol=1e-5)
+
+
+def test_steps_per_call_tail_handling(sun_pack, tmp_path):
+    """16 frames / batch 8 = 2 steps/epoch with steps_per_call=3: the whole
+    epoch is a tail chunk and must run through the single-step executable
+    with no filler updates."""
+    cfg = tiny_cfg(epochs=1)
+    cfg["steps_per_call"] = 3
+    ctx, summary = run_tiny(cfg, sun_pack, tmp_path / "t")
+    base_ctx, base_summary = run_tiny(tiny_cfg(epochs=1), sun_pack, tmp_path / "u")
+    m1 = json.loads(
+        (ctx.layout.output_dir / f"{ctx.layout.stem}.metrics.json").read_text()
+    )
+    m2 = json.loads(
+        (base_ctx.layout.output_dir / f"{base_ctx.layout.stem}.metrics.json").read_text()
+    )
+    assert m1["val"]["loss"] == m2["val"]["loss"]
+    assert m1["test_primary"]["auroc"] == m2["test_primary"]["auroc"]
