@@ -63,7 +63,10 @@ def build_library(force: bool = False) -> Optional[Path]:
     try:
         subprocess.run(
             [
-                "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                # -O3 vectorizes the scalar resample loops; no -march=native
+                # (the cached .so may be reused on a different host).
+                "g++", "-O3", "-funroll-loops", "-shared", "-fPIC",
+                "-std=c++17",
                 str(_SOURCE), "-o", str(_LIB_PATH), "-ljpeg", "-pthread",
             ],
             check=True,
