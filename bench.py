@@ -324,7 +324,8 @@ def main() -> None:
     params = init_mae(jax.random.PRNGKey(0), cfg)
     opt_state = optim.adamw_init(params)
     wd_scale = optim.no_weight_decay_scales(params)
-    ones = jax.tree_util.tree_map(lambda _: 1.0, params)
+    # Matches the engine: frozen sincos pos_embed leaves (lr 0).
+    ones = optim.pretrain_lr_scales(params)
 
     from ssl4polyp_tpu.models.layers import cast_params_for_compute
 

@@ -417,6 +417,10 @@ class ScheduleRuntime:
     stages: Tuple[FinetuneStage, ...]
     base_lr: float
     depth: int
+    # MAE-lineage (sincos) classifiers inherit the pretrainer's frozen
+    # pos_embed buffers (reference ViT_from_MAE <- models_mae.py:37);
+    # timm-lineage learned pos embeds train normally.
+    freeze_pos_embed: bool = False
 
     def stage_at(self, epoch: int) -> Optional[FinetuneStage]:
         if not self.stages:
@@ -431,7 +435,10 @@ class ScheduleRuntime:
     def lr_and_scales(self, params, epoch: int, default_mode: str):
         stage = self.stage_at(epoch)
         if stage is None:
-            scales = optim.finetune_lr_scales(params, default_mode, self.depth)
+            scales = optim.finetune_lr_scales(
+                params, default_mode, self.depth,
+                freeze_pos_embed=self.freeze_pos_embed,
+            )
             return self.base_lr, scales, default_mode, None
         head_lr = stage.head_lr if stage.head_lr is not None else self.base_lr
         backbone_scale = 1.0
@@ -440,6 +447,7 @@ class ScheduleRuntime:
         scales = optim.finetune_lr_scales(
             params, stage.mode, self.depth,
             head_scale=1.0, backbone_scale=backbone_scale,
+            freeze_pos_embed=self.freeze_pos_embed,
         )
         return head_lr, scales, stage.mode, stage.name
 
@@ -649,7 +657,10 @@ def run_classification_training(
         )
 
         depth = ctx.classifier.cfg.depth
-        schedule_runtime = ScheduleRuntime(plan.finetune_schedule, plan.lr, depth)
+        schedule_runtime = ScheduleRuntime(
+            plan.finetune_schedule, plan.lr, depth,
+            freeze_pos_embed=ctx.classifier.cfg.pos_embed == "sincos",
+        )
         wd_scale = optim.no_weight_decay_scales(params)
         steps_per_call = max(1, int(plan.steps_per_call))
         train_step = make_train_step(ctx, steps_per_call)

@@ -39,6 +39,7 @@ __all__ = [
     "lars_update",
     "no_weight_decay_scales",
     "finetune_lr_scales",
+    "pretrain_lr_scales",
     "layerwise_lr_decay_scales",
     "clip_by_global_norm",
     "global_norm",
@@ -236,6 +237,7 @@ def finetune_lr_scales(
     depth: int,
     head_scale: float = 1.0,
     backbone_scale: float = 1.0,
+    freeze_pos_embed: bool = False,
 ) -> Tree:
     """Build the lr_scale tree implementing a fine-tune regime.
 
@@ -243,6 +245,13 @@ def finetune_lr_scales(
     ``none`` trains only the head; ``head+1``/``head+2`` additionally train
     the last 1/2 encoder blocks.  ``head_scale``/``backbone_scale`` carry
     per-group learning rates (``train_classification.py:5751-5765``).
+
+    ``freeze_pos_embed``: zero the lr on ``pos_embed`` leaves even in
+    ``full`` mode — the MAE-lineage classifier inherits the pretrainer's
+    ``requires_grad=False`` sincos buffers (reference
+    ``models_mae.py:37,51`` via ``ViT_from_MAE``), so those tables must
+    never receive updates; the timm lineage's LEARNED pos embeds train
+    normally.
     """
     mode = (mode or "full").strip().lower()
     if mode not in {"none", "full", "head+1", "head+2"}:
@@ -260,6 +269,8 @@ def finetune_lr_scales(
     def walk(node, path):
         if isinstance(node, dict):
             return {key: walk(value, path + (key,)) for key, value in node.items()}
+        if path and path[-1] == "pos_embed" and freeze_pos_embed:
+            return 0.0
         if path and path[0] == "head":
             return head_scale
         if path and path[0] == "blocks":
@@ -271,6 +282,20 @@ def finetune_lr_scales(
         return backbone_scale if mode == "full" else 0.0
 
     return walk(params, ())
+
+
+def pretrain_lr_scales(params: Params) -> Tree:
+    """MAE pretraining lr scales: 1.0 everywhere, 0.0 on ``pos_embed``
+    leaves — the reference's encoder/decoder sin-cos tables are frozen
+    buffers (``models_mae.py:37,51``: ``requires_grad=False``), so AdamW
+    must never touch them (cls/mask tokens stay trainable)."""
+
+    def walk(node, name):
+        if isinstance(node, dict):
+            return {key: walk(value, key) for key, value in node.items()}
+        return 0.0 if name == "pos_embed" else 1.0
+
+    return walk(params, "")
 
 
 def layerwise_lr_decay_scales(

@@ -301,7 +301,9 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
         start_epoch = int(restored["meta"].get("epoch", -1)) + 1
         logger.text(f"Resumed from {resume_path} at epoch {start_epoch}")
 
-    lr_scale = jax.tree_util.tree_map(lambda _: 1.0, params)
+    # pos_embed leaves are FROZEN sincos buffers in the reference
+    # (models_mae.py:37,51 requires_grad=False) — lr 0, never updated.
+    lr_scale = optim.pretrain_lr_scales(params)
     wd_scale = optim.no_weight_decay_scales(params)
     params_c = init_compute_params(params, cfg, mesh)
     steps_per_call = max(1, int(settings.steps_per_call))

@@ -235,3 +235,88 @@ def test_adamw_update_fused_array_scales_fall_back():
         np.asarray(ref_state.nu["blocks"]["w"]),
         np.asarray(got_state.nu["blocks"]["w"]), rtol=1e-6, atol=1e-6,
     )
+
+
+def test_pos_embed_frozen_in_pretrain_scales():
+    """Reference MAE keeps encoder/decoder sincos pos_embed as
+    requires_grad=False buffers (models_mae.py:37,51): pretrain lr scales
+    must zero exactly those leaves."""
+    import jax
+
+    from ssl4polyp_tpu.models.mae import MAEConfig, init_mae
+    from ssl4polyp_tpu.models.vit import ViTConfig
+    from ssl4polyp_tpu.training import optim
+
+    cfg = MAEConfig(
+        encoder=ViTConfig(img_size=32, patch_size=8, embed_dim=32, depth=2,
+                          num_heads=4),
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=4,
+    )
+    params = init_mae(jax.random.PRNGKey(0), cfg)
+    scales = optim.pretrain_lr_scales(params)
+    assert scales["pos_embed"] == 0.0
+    assert scales["decoder"]["pos_embed"] == 0.0
+    assert scales["cls_token"] == 1.0
+    assert scales["decoder"]["mask_token"] == 1.0
+    assert scales["patch_embed"]["kernel"] == 1.0
+
+
+def test_pos_embed_freeze_in_finetune_scales():
+    """freeze_pos_embed zeroes pos_embed in every mode (MAE-lineage
+    classifier inherits the frozen buffer via ViT_from_MAE); the learned
+    lineage keeps it trainable in full mode."""
+    import jax
+
+    from ssl4polyp_tpu.models.vit import ViTConfig, init_vit
+    from ssl4polyp_tpu.training import optim
+
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=32, depth=2,
+                    num_heads=4, num_classes=2, pos_embed="learned")
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    for mode in ("full", "none", "head+1"):
+        frozen = optim.finetune_lr_scales(params, mode, 2, freeze_pos_embed=True)
+        assert frozen["pos_embed"] == 0.0, mode
+    trainable = optim.finetune_lr_scales(params, "full", 2)
+    assert trainable["pos_embed"] == 1.0
+
+
+def test_pretrain_step_does_not_move_pos_embed(rng_key):
+    """One real pretrain optimizer step: sincos tables bit-unchanged while
+    cls/mask tokens move."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.models.mae import MAEConfig, init_mae, mae_forward
+    from ssl4polyp_tpu.models.vit import ViTConfig
+    from ssl4polyp_tpu.training import optim
+
+    cfg = MAEConfig(
+        encoder=ViTConfig(img_size=32, patch_size=8, embed_dim=32, depth=2,
+                          num_heads=4, compute_dtype=jnp.float32),
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=4,
+    )
+    params = init_mae(rng_key, cfg)
+    before_enc = np.asarray(params["pos_embed"]).copy()
+    before_dec = np.asarray(params["decoder"]["pos_embed"]).copy()
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    def loss_fn(p):
+        loss, _, _ = mae_forward(p, images, jax.random.PRNGKey(2), cfg)
+        return loss
+
+    grads = jax.grad(loss_fn)(params)
+    state = optim.adamw_init(params)
+    new_params, _ = optim.adamw_update(
+        params, grads, state, lr=1e-2, weight_decay=0.05,
+        lr_scale=optim.pretrain_lr_scales(params),
+        wd_scale=optim.no_weight_decay_scales(params),
+    )
+    np.testing.assert_array_equal(np.asarray(new_params["pos_embed"]), before_enc)
+    np.testing.assert_array_equal(
+        np.asarray(new_params["decoder"]["pos_embed"]), before_dec
+    )
+    assert not np.array_equal(
+        np.asarray(new_params["cls_token"]), np.asarray(params["cls_token"])
+    )
