@@ -484,7 +484,12 @@ def bench_input() -> None:
     index = ImageFolderIndex(corpus, no_train_dir=True)
     results = {}
     best = 0.0
-    for use_native in (False, True):
+    # Only claim a "native" measurement when the C++ decoder actually runs
+    # (the loader silently falls back to PIL otherwise).
+    native_variants = (False, True) if native_available() else (False,)
+    if not native_available():
+        results["native"] = "unavailable"
+    for use_native in native_variants:
         for workers in worker_grid:
             loader = PretrainLoader(
                 index, batch, image_size=224, num_workers=workers,

@@ -3,7 +3,7 @@
 # Run on the real TPU with an idle host (never concurrently with pytest).
 # Screening pass: fewer iters/trials than the gate config; confirm the
 # winner with a full `python bench.py` before changing DEFAULTS.
-set -u
+set -u -o pipefail
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jaxcache}
 ITERS=${AB_ITERS:-6}
 TRIALS=${AB_TRIALS:-2}
@@ -13,8 +13,13 @@ OUT=${AB_OUT:-/tmp/ab_round3.jsonl}
 run() {
   local label="$1"; shift
   echo "=== $label ($*)" >&2
-  local line
+  local line rc
   line=$(env "$@" BENCH_ITERS=$ITERS BENCH_TRIALS=$TRIALS timeout 3000 python bench.py 2>/dev/null | tail -1)
+  rc=$?
+  if [ -z "$line" ] || [ "$rc" -ne 0 ]; then
+    echo "{\"label\": \"$label\", \"env\": \"$*\", \"error\": \"rc=$rc\"}" | tee -a "$OUT"
+    return
+  fi
   echo "{\"label\": \"$label\", \"env\": \"$*\", \"result\": $line}" | tee -a "$OUT"
 }
 

@@ -5,7 +5,7 @@
 #
 # Order matters: the gate re-capture (default config, full iters) comes
 # FIRST so a mid-run relay death still leaves the headline number recorded.
-set -u
+set -u -o pipefail
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jaxcache}
 ITERS=${AB_ITERS:-6}
 TRIALS=${AB_TRIALS:-2}
@@ -15,8 +15,14 @@ OUT=${AB_OUT:-/tmp/ab_round4.jsonl}
 run() {
   local label="$1"; shift
   echo "=== $label ($*)" >&2
-  local line
+  local line rc
   line=$(env "$@" timeout 3000 python bench.py 2>/dev/null | tail -1)
+  rc=$?
+  if [ -z "$line" ] || [ "$rc" -ne 0 ]; then
+    # Keep the JSONL parseable and the failure visible.
+    echo "{\"label\": \"$label\", \"env\": \"$*\", \"error\": \"rc=$rc\"}" | tee -a "$OUT"
+    return
+  fi
   echo "{\"label\": \"$label\", \"env\": \"$*\", \"result\": $line}" | tee -a "$OUT"
 }
 

@@ -472,6 +472,15 @@ def domain_shift_section(run_set: RunSet, output_dir: Path) -> List[str]:
                     + 29 * PAIRWISE_METRICS.index(metric)
                     + 31 * sorted(views).index(baseline)
                 )
+                # Shared centre coverage per seed (invariant across
+                # replicates — hoisted out of the resample loop).
+                shared_by_seed = {
+                    s: [
+                        c for c in centers
+                        if c in base_runs[s].centers and c in cont_runs[s].centers
+                    ]
+                    for s in seeds
+                }
                 for _ in range(n_resamples):
                     vals = []
                     for s in seeds:
@@ -479,10 +488,7 @@ def domain_shift_section(run_set: RunSet, output_dir: Path) -> List[str]:
                         # coverage, then map the same drawn multiset into
                         # each run's own index arrays (paired regardless
                         # of row order or coverage skew — advisor finding).
-                        shared = [
-                            c for c in centers
-                            if c in base_runs[s].centers and c in cont_runs[s].centers
-                        ]
+                        shared = shared_by_seed[s]
                         if not shared:
                             continue
                         draw = rng.integers(0, len(shared), size=len(shared))

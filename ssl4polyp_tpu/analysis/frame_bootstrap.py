@@ -98,6 +98,10 @@ class FrameSample:
     labels: np.ndarray
     clusters: Tuple[Tuple[int, ...], ...]  # frame indices grouped by cluster
     tau: float
+    # Cluster identity per group, aligned with ``clusters``.  Paired deltas
+    # draw cluster KEYS once and map them into each run's own index groups —
+    # pairing then survives row-order and coverage differences between runs.
+    cluster_keys: Tuple[str, ...] = ()
 
     @classmethod
     def build(
@@ -115,18 +119,27 @@ class FrameSample:
             groups: Tuple[Tuple[int, ...], ...] = tuple(
                 (i,) for i in range(probs_arr.size)
             )
+            keys = tuple(str(i) for i in range(probs_arr.size))
         else:
             by_id: Dict[object, List[int]] = {}
             for i, cid in enumerate(cluster_ids):
                 by_id.setdefault(cid, []).append(i)
-            groups = tuple(tuple(v) for _, v in sorted(by_id.items(), key=lambda kv: str(kv[0])))
-        return cls(probs=probs_arr, labels=labels_arr, clusters=groups, tau=float(tau))
+            items = sorted(by_id.items(), key=lambda kv: str(kv[0]))
+            groups = tuple(tuple(v) for _, v in items)
+            keys = tuple(str(k) for k, _ in items)
+        return cls(probs=probs_arr, labels=labels_arr, clusters=groups,
+                   tau=float(tau), cluster_keys=keys)
 
     def resample(self, rng: np.random.Generator) -> np.ndarray:
         """Indices for one cluster-bootstrap replicate."""
         n = len(self.clusters)
         chosen = rng.integers(0, n, size=n)
         return np.concatenate([np.asarray(self.clusters[c], dtype=int) for c in chosen])
+
+    def indices_for_keys(self, keys: Sequence[str]) -> np.ndarray:
+        """Frame indices for an already-drawn cluster-key multiset."""
+        lookup = {k: g for k, g in zip(self.cluster_keys, self.clusters)}
+        return np.concatenate([np.asarray(lookup[k], dtype=int) for k in keys])
 
     def metric(self, metric: str, idx: Optional[np.ndarray] = None) -> float:
         if idx is None:
@@ -198,15 +211,30 @@ class FrameBootstrapper:
             for s in seeds
         }
         rng = self._rng()
+        # Shared cluster keys per seed, hoisted out of the replicate loop:
+        # draw keys ONCE per replicate and map the same multiset into each
+        # run's own index groups — paired regardless of row order or
+        # coverage skew (same fix as exp_reports/exp5a paired bootstraps).
+        shared_keys = {
+            s: [k for k in sample_a[s].cluster_keys
+                if k in set(sample_b[s].cluster_keys)]
+            for s in seeds
+        }
         draws: List[float] = []
         for _ in range(self.n_resamples):
             deltas = []
             for s in seeds:
                 fa, fb = sample_a[s], sample_b[s]
-                idx_a = fa.resample(rng)
-                idx_b = idx_a if fa.clusters == fb.clusters else fb.resample(rng)
+                keys = shared_keys[s]
+                if not keys:
+                    continue
+                draw = rng.integers(0, len(keys), size=len(keys))
+                drawn = [keys[int(d)] for d in draw]
+                idx_a = fa.indices_for_keys(drawn)
+                idx_b = fb.indices_for_keys(drawn)
                 deltas.append(fb.metric(metric, idx_b) - fa.metric(metric, idx_a))
-            draws.append(float(np.nanmean(deltas)))
+            if deltas:
+                draws.append(float(np.nanmean(deltas)))
         arr = np.asarray([d for d in draws if np.isfinite(d)])
         alpha = (1.0 - ci) / 2.0
         return BootstrapDeltaResult(

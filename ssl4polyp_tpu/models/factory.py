@@ -190,15 +190,9 @@ def get_imagenet_or_random_vit(
         # Conventional cache location filled by scripts/fetch_augreg.py on
         # an internet-connected host (the offline half of the reference's
         # fetch-and-cache flow, models.py:52-55,225).
-        import importlib.util as _ilu
+        from .augreg_cache import default_path
 
-        spec = _ilu.spec_from_file_location(
-            "fetch_augreg",
-            Path(__file__).resolve().parents[2] / "scripts" / "fetch_augreg.py",
-        )
-        module = _ilu.module_from_spec(spec)
-        spec.loader.exec_module(module)
-        pretrained_npz = module.default_path()
+        pretrained_npz = default_path()
     if pretrained_npz is not None:
         npz = Path(pretrained_npz)
         if not npz.exists():

@@ -288,14 +288,14 @@ _LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
 
 def _read_legacy_pth(path: Path) -> Any:
     """Pre-1.6 format: pickled (magic, protocol, sysinfo, obj, keys) followed
-    by each storage as ``int64 numel`` + raw little-endian data."""
-    with open(path, "rb") as handle:
-        magic = pickle.load(handle)
-        if magic != _LEGACY_MAGIC:
-            raise TorchUnpickleError(f"{path}: not a torch legacy file")
-        _protocol = pickle.load(handle)
-        _sysinfo = pickle.load(handle)
+    by each storage as ``int64 numel`` + raw little-endian data.
 
+    Every pickle stream in the file — including the magic/protocol/sysinfo
+    preludes and the storage-key list — goes through the SAME restricted
+    unpickler as the main object graph, so the no-arbitrary-callables
+    guarantee holds for the legacy format too.
+    """
+    with open(path, "rb") as handle:
         deferred: Dict[str, _StorageRef] = {}
 
         def load_storage(key: str, dtype: np.dtype, numel: int) -> _StorageRef:
@@ -305,8 +305,17 @@ def _read_legacy_pth(path: Path) -> Any:
                 deferred[key] = ref
             return ref
 
-        result = _RestrictedUnpickler(handle, load_storage).load()
-        storage_keys = pickle.load(handle)
+        def restricted_load():
+            return _RestrictedUnpickler(handle, load_storage).load()
+
+        magic = restricted_load()
+        if magic != _LEGACY_MAGIC:
+            raise TorchUnpickleError(f"{path}: not a torch legacy file")
+        _protocol = restricted_load()
+        _sysinfo = restricted_load()
+
+        result = restricted_load()
+        storage_keys = restricted_load()
         for key in storage_keys:
             ref = deferred[str(key)]
             (numel,) = struct.unpack("<q", handle.read(8))

@@ -95,13 +95,20 @@ struct ResampleAxis {
     start.resize(out_size);
     count.resize(out_size);
     weights.assign(static_cast<size_t>(out_size) * max_count, 0.0f);
+    // Taps clamp to the CROP box, not the full image: PIL/torchvision crop
+    // first, so their kernels never read out-of-crop pixels and renormalize
+    // over in-crop taps only — edge rows/cols must match that.
+    int box_lo = in_offset;
+    int box_hi = in_offset + in_span;
+    if (box_lo < 0) box_lo = 0;
+    if (box_hi > in_size) box_hi = in_size;
     for (int i = 0; i < out_size; ++i) {
       const float center = in_offset + (i + 0.5f) * scale;
       int lo = static_cast<int>(center - support + 0.5f);
       int hi = static_cast<int>(center + support + 0.5f);
-      if (lo < 0) lo = 0;
-      if (hi > in_size) hi = in_size;
-      if (hi <= lo) { lo = lo < in_size ? lo : in_size - 1; hi = lo + 1; }
+      if (lo < box_lo) lo = box_lo;
+      if (hi > box_hi) hi = box_hi;
+      if (hi <= lo) { lo = lo < box_hi - 1 ? lo : box_hi - 1; hi = lo + 1; }
       start[i] = lo;
       count[i] = hi - lo;
       float total = 0.0f;
@@ -275,7 +282,11 @@ int decode_crop_resize(const char* path, uint8_t* out, int out_h, int out_w,
   int row0 = sy - margin < 0 ? 0 : sy - margin;
   int row1 = sy + sh + margin > src_h ? src_h : sy + sh + margin;
 
-#if JPEG_LIB_VERSION >= 70
+// jpeg_skip_scanlines is a libjpeg-TURBO extension (present whatever
+// JPEG_LIB_VERSION emulation level turbo is built with, absent from stock
+// IJG libjpeg at any version) — detect turbo via its colorspace-extension
+// marker, not the version macro.
+#if defined(JCS_EXTENSIONS) || defined(LIBJPEG_TURBO_VERSION)
   if (row0 > 0) {
     jpeg_skip_scanlines(&cinfo, static_cast<JDIMENSION>(row0));
     // jpeg_skip_scanlines may stop short at iMCU boundaries; account for

@@ -787,6 +787,7 @@ def run_classification_training(
             epoch_key = jax.random.fold_in(root_key, epoch)
             iterator = iter(train_loader)
             it = 0
+            steps_since_log = 0
             stop_epoch = False
             while not stop_epoch:
                 if plan.max_train_steps is not None and global_step >= plan.max_train_steps:
@@ -837,10 +838,16 @@ def run_classification_training(
                 log_due = (it % plan.log_interval) < k if steps_per_call > 1 \
                     else it % plan.log_interval == 0
                 it += k
+                steps_since_log += k
                 if log_due:
                     drain_losses()
                     loss_value = losses[-1]
-                    rate = throughput.tick(plan.batch_size * plan.log_interval)
+                    # Count the ACTUAL steps since the last log — with fused
+                    # dispatch the log cadence is chunk-quantized, and using
+                    # the nominal log_interval would skew the rate by
+                    # log_interval/steps_per_call.
+                    rate = throughput.tick(plan.batch_size * steps_since_log)
+                    steps_since_log = 0
                     logger.scalar("train/loss", loss_value, global_step)
                     logger.scalar("train/lr", lrs[-1], global_step)
                     logger.scalar("train/grad_norm", float(metrics["grad_norm"]), global_step)
