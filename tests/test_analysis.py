@@ -805,3 +805,45 @@ def test_run_blocks_rejects_unknown_mlp_fusion(rng_key):
     x = jnp.zeros((2, 8, 16))
     with pytest.raises(ValueError, match="mlp_fusion"):
         layers.run_blocks(x, blocks, 2, mlp_fusion="ful")
+
+
+def test_frame_bootstrap_pairing_survives_row_reorder():
+    """paired_delta draws shared cluster KEYS and maps them into each run's
+    own index groups: a row-permuted copy of the same runs must produce the
+    identical bootstrap distribution, and pairing must hold (near-zero CI
+    width for identical prob vectors) even when one run enumerates frames
+    in a different order (review finding, round 4)."""
+    from ssl4polyp_tpu.analysis.frame_bootstrap import FrameBootstrapper, FrameSample
+
+    rng = np.random.default_rng(3)
+    n = 200
+    labels = rng.integers(0, 2, n)
+    probs = np.clip(rng.normal(0.5 + (labels - 0.5) * 0.4, 0.2), 0, 1)
+    cases = [f"c{i % 20}" for i in range(n)]
+
+    perm = rng.permutation(n)
+    samples = {
+        "a": {13: FrameSample.build(probs, labels, cases, 0.5)},
+        # same run, rows permuted — cluster keys identical, row order not
+        "b": {13: FrameSample.build(probs[perm], labels[perm],
+                                    [cases[i] for i in perm], 0.5)},
+    }
+    delta = FrameBootstrapper(samples, n_resamples=200).paired_delta("a", "b")
+    # identical underlying run => every paired replicate's delta is exactly 0
+    assert delta.mean == 0.0
+    assert all(abs(s) < 1e-12 for s in delta.samples)
+
+    # partial coverage: pairing restricted to the shared clusters, not
+    # silently independent
+    half_idx = [i for i in range(n) if int(cases[i][1:]) < 10]
+    samples_partial = {
+        "a": {13: FrameSample.build(probs, labels, cases, 0.5)},
+        "b": {13: FrameSample.build(probs[half_idx], labels[half_idx],
+                                    [cases[i] for i in half_idx], 0.5)},
+    }
+    delta_partial = FrameBootstrapper(samples_partial, n_resamples=200).paired_delta(
+        "a", "b"
+    )
+    # shared clusters carry identical probs => paired deltas stay ~0 even
+    # though run a has clusters run b lacks
+    assert all(abs(s) < 1e-12 for s in delta_partial.samples)
