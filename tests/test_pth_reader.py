@@ -152,3 +152,51 @@ def test_mae_checkpoint_import_torch_free(tmp_path):
         rtol=0, atol=0,
     )
     assert params["patch_embed"]["kernel"].shape == (P * P * C, D)
+
+
+def test_shared_storage_views(tmp_path):
+    """Two tensors sharing one storage (a view with offset) deserialize from
+    the single stored buffer — the storage cache must dedupe by key."""
+    base = torch.arange(12, dtype=torch.float32)
+    state = {"full": base, "view": base[3:9], "strided": base[::2]}
+    path = tmp_path / "shared.pth"
+    torch.save(state, str(path))
+    with _BlockTorch():
+        loaded = read_pth_state_dict(path, key=None)
+    np.testing.assert_array_equal(loaded["full"], np.arange(12, dtype=np.float32))
+    np.testing.assert_array_equal(loaded["view"], np.arange(3, 9, dtype=np.float32))
+    np.testing.assert_array_equal(loaded["strided"],
+                                  np.arange(0, 12, 2, dtype=np.float32))
+
+
+def test_published_mae_checkpoint_shape(tmp_path):
+    """The published MAE checkpoints carry model + optimizer state + epoch +
+    an argparse.Namespace of run args; the torch-free reader must survive
+    the full graph, not just the model dict."""
+    import argparse
+
+    gen = torch.Generator().manual_seed(2)
+    model = {"cls_token": torch.randn(1, 1, 8, generator=gen),
+             "blocks.0.attn.qkv.weight": torch.randn(24, 8, generator=gen)}
+    optimizer = {
+        "state": {0: {"step": 100,
+                      "exp_avg": torch.randn(24, 8, generator=gen),
+                      "exp_avg_sq": torch.rand(24, 8, generator=gen)}},
+        "param_groups": [{"lr": 1e-3, "betas": (0.9, 0.95), "params": [0]}],
+    }
+    args = argparse.Namespace(batch_size=64, mask_ratio=0.75, model="mae_vit_base")
+    path = tmp_path / "mae_full.pth"
+    torch.save({"model": model, "optimizer": optimizer, "epoch": 399,
+                "args": args}, str(path))
+    with _BlockTorch():
+        full = read_pth(path)
+        state = read_pth_state_dict(path)
+    assert full["epoch"] == 399
+    assert full["args"].mask_ratio == 0.75
+    np.testing.assert_array_equal(
+        state["cls_token"], model["cls_token"].numpy()
+    )
+    np.testing.assert_array_equal(
+        full["optimizer"]["state"][0]["exp_avg"],
+        optimizer["state"][0]["exp_avg"].numpy(),
+    )
