@@ -288,6 +288,12 @@ def _loss_from_logits(logits, labels, valid, loss_mode, pos_weight, class_weight
         picked = jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
         weights = jnp.asarray(class_weights)[labels]
         per = -picked * weights
+        # torch CrossEntropyLoss(weight=...) reduction='mean' normalizes by
+        # the SUM OF TARGET WEIGHTS, not the sample count (reference
+        # train_classification.py:6104) — match that exactly.
+        return jnp.sum(per * valid_f) / jnp.maximum(
+            jnp.sum(weights * valid_f), 1e-12
+        )
     return jnp.sum(per * valid_f) / jnp.maximum(jnp.sum(valid_f), 1.0)
 
 

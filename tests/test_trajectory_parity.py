@@ -211,15 +211,27 @@ def test_weighted_ce_loss_matches_torch():
         jnp.asarray(logits), jnp.asarray(labels), jnp.ones((16,), bool),
         "weighted_ce", 1.0, weights,
     )
-    # torch reduction='mean' divides by the SUM OF WEIGHTS of the targets;
-    # the reference normalizes per-frame (sum/valid-count), so compare
-    # against the per-frame normalization torch expresses with
-    # reduction='none'.
-    per = F.cross_entropy(
+    # torch reduction='mean' divides by the SUM OF WEIGHTS of the targets
+    # (the reference's nn.CrossEntropyLoss(weight=...) semantics,
+    # train_classification.py:6104) — compare against torch directly.
+    want = F.cross_entropy(
         torch.tensor(logits), torch.tensor(labels),
-        weight=torch.tensor(weights), reduction="none",
+        weight=torch.tensor(weights),
     )
-    np.testing.assert_allclose(float(ours), float(per.mean()), rtol=1e-6)
+    np.testing.assert_allclose(float(ours), float(want), rtol=1e-6)
+
+    # masked rows drop out of both numerator and weight-denominator
+    valid = np.ones(16, bool)
+    valid[10:] = False
+    ours_masked = _loss_from_logits(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(valid),
+        "weighted_ce", 1.0, weights,
+    )
+    want_masked = F.cross_entropy(
+        torch.tensor(logits[:10]), torch.tensor(labels[:10]),
+        weight=torch.tensor(weights),
+    )
+    np.testing.assert_allclose(float(ours_masked), float(want_masked), rtol=1e-6)
 
 
 def test_bce_pos_weight_matches_torch_elementwise():
