@@ -90,7 +90,16 @@ def per_sample_losses(
     pos_weight: float = 1.0,
     class_weights: Optional[Sequence[float]] = None,
 ) -> np.ndarray:
-    """Per-sample loss (binary BCE-with-pos-weight or weighted CE)."""
+    """Per-sample loss (binary BCE-with-pos-weight or weighted CE).
+
+    Downstream ``mean_loss`` blocks average these per FRAME.  For the
+    binary path that matches the reference's per-batch mean exactly; for
+    weighted CE the TRAINING loss divides by the sum of target weights
+    (torch semantics, see classification._loss_from_logits), so the eval
+    diagnostic differs from the train loss by sum(w)/count on class-
+    imbalanced subsets — fine for a monitoring value, noted for parity
+    audits.
+    """
     targets = np.asarray(targets).astype(np.int64)
     if mode == "binary_bce":
         z = binary_logit(logits)
