@@ -152,8 +152,11 @@ def mean_auroc(preds, targets, n_class: int = 2) -> float:
         )
         return float("nan")
     if n_class == 2:
-        if preds.ndim == 2:
-            scores = as_class_probabilities(preds, 2)[:, 1] if preds.shape[1] == 2 else as_binary_scores(preds)
+        if preds.ndim == 2 and preds.shape[1] == 2:
+            # Reference meanAUROC ranks by raw column 1 (``performance.py``:
+            # preds[:, 1] straight into roc_auc_score) — NOT by the softmax
+            # p1 = sigmoid(x1 - x0), which reverses rankings when x0 varies.
+            scores = preds[:, 1]
         else:
             scores = as_binary_scores(preds)
         return float(roc_auc_score(targets, scores))
@@ -169,7 +172,8 @@ def mean_auprc(preds, targets, n_class: int = 2) -> float:
         scores = as_binary_scores(np.asarray(preds))
         return float(average_precision_score(targets, scores))
     probs = as_class_probabilities(np.asarray(preds), n_class)
-    one_hot = np.eye(n_class, dtype=np.int64)[targets]
+    # int cast mirrors the reference's targets.to(torch.long) before one_hot
+    one_hot = np.eye(n_class, dtype=np.int64)[np.asarray(targets).astype(np.int64)]
     return float(average_precision_score(one_hot, probs, average="macro"))
 
 
@@ -194,7 +198,23 @@ def binary_metrics_block(
     loss: Optional[float] = None,
 ) -> Dict[str, float]:
     """Full per-split metric block (the reference's reported metric set:
-    ``README.md:335`` / ``common_metrics.py:100``)."""
+    ``README.md:335`` / ``common_metrics.py:100``).
+
+    Averaging convention: POSITIVE-CLASS binary (sklearn semantics), the
+    same convention as the analysis layer's frame recomputation
+    (``analysis/common.py::compute_binary_metrics``, reference
+    ``common_metrics.py:142-144``) and the threshold policies
+    (``thresholds.py``).  The reference's *train-side* functors are
+    macro-averaged (``performance.py:100-155``) — an internal inconsistency
+    the reference tolerates because its artifact audit is disabled
+    (``result_loader.py:189``); ours is active
+    (``report_core.recompute_primary_metrics``), so the declared block
+    must match the frames recomputation.  The macro functors remain
+    available above for multiclass parity.  All thresholded metrics
+    derive from ONE confusion pass.
+    """
+    from sklearn.metrics import average_precision_score, roc_auc_score
+
     probs = as_binary_scores(np.asarray(probs))
     targets = np.asarray(targets).astype(np.int64)
     threshold = 0.5 if tau is None else float(tau)
@@ -204,14 +224,30 @@ def binary_metrics_block(
     tn = int(((predictions == 0) & (targets == 0)).sum())
     fn = int(((predictions == 0) & (targets == 1)).sum())
     n = len(targets)
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    f1 = (2 * tp) / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
+    tnr = tn / (tn + fp) if tn + fp else 0.0
+    bal_acc = 0.5 * (recall + tnr)
+    mcc_den = float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    mcc_val = (
+        (tp * tn - fp * fn) / np.sqrt(mcc_den) if mcc_den > 0 else 0.0
+    )
+    single_class = np.unique(targets).size < 2
+    if single_class:
+        warnings.warn(
+            "AUROC undefined with a single target class; returning NaN.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     block: Dict[str, float] = {
-        "recall": mean_recall(probs, targets, 2, threshold),
-        "precision": mean_precision(probs, targets, 2, threshold),
-        "f1": mean_f1(probs, targets, 2, threshold),
-        "balanced_accuracy": balanced_accuracy(probs, targets, 2, threshold),
-        "auroc": mean_auroc(probs, targets, 2),
-        "auprc": mean_auprc(probs, targets, 2),
-        "mcc": mcc(probs, targets, 2, threshold),
+        "recall": float(recall),
+        "precision": float(precision),
+        "f1": float(f1),
+        "balanced_accuracy": float(bal_acc),
+        "auroc": float("nan") if single_class else float(roc_auc_score(targets, probs)),
+        "auprc": float(average_precision_score(targets, probs)),
+        "mcc": float(mcc_val),
         "tp": tp,
         "fp": fp,
         "tn": tn,

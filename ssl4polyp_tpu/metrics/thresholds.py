@@ -189,12 +189,41 @@ def compute_policy_threshold(
     return ThresholdResult(tau=tau, record=record, metrics=metrics, candidates=taus.tolist())
 
 
-def compute_youden_threshold(logits_or_scores, targets) -> float:
+def compute_youden_threshold(logits_or_scores, targets, *,
+                             inputs: str = "probs") -> float:
     """Youden-J optimum on the ROC curve (sklearn semantics incl. the
-    inf-threshold guard — reference ``thresholds.py:68-110``)."""
+    inf-threshold guard — reference ``thresholds.py:68-110``).
+
+    ``inputs`` makes the score space EXPLICIT instead of range-sniffed:
+    ``"probs"`` (this pipeline's convention — every caller passes
+    positive-class probabilities) uses the values as-is; ``"logits"``
+    applies sigmoid/softmax unconditionally like the reference's
+    ``_prepare_binary_scores`` (``thresholds.py:50-62``).  Range-sniffing
+    was unsound: raw logits that incidentally lie in [0, 1] on the
+    threshold split would silently produce a logit-space τ later applied
+    to probabilities.
+    """
     from sklearn.metrics import roc_curve
 
-    scores = as_binary_scores(np.asarray(logits_or_scores, dtype=float))
+    array = np.asarray(logits_or_scores, dtype=float)
+    if inputs == "probs":
+        if array.ndim == 2:
+            array = array[:, -1]
+        if array.size and (array.min() < -1e-6 or array.max() > 1.0 + 1e-6):
+            raise ValueError(
+                "compute_youden_threshold(inputs='probs') received values "
+                "outside [0, 1]; pass inputs='logits' for raw logits"
+            )
+        scores = array
+    elif inputs == "logits":
+        if array.ndim == 1:
+            scores = 1.0 / (1.0 + np.exp(-array))
+        else:
+            shifted = array - array.max(axis=1, keepdims=True)
+            exp = np.exp(shifted)
+            scores = (exp / exp.sum(axis=1, keepdims=True))[:, -1]
+    else:
+        raise ValueError(f"inputs must be 'probs' or 'logits', got {inputs!r}")
     labels = np.asarray(targets).astype(int)
     if scores.size == 0:
         raise ValueError("Cannot compute threshold on empty scores")
