@@ -23,6 +23,8 @@ __all__ = [
     "read_outputs_csv",
     "load_common_run",
     "compute_binary_metrics",
+    "bce_loss_from_probs",
+    "bce_loss_from_frames",
     "build_cluster_map",
     "infer_seed",
 ]
@@ -98,11 +100,21 @@ def read_outputs_csv(path: Path) -> List[FrameRecord]:
         for i, row in enumerate(reader):
             label_raw = row.get("label")
             pred_raw = row.get("pred")
+            prob_raw = row.get("prob")
+            # Missing prob/label cells mean a truncated or schema-drifted
+            # export: fail loudly — coercing to 0/0.0 would silently flip
+            # positives and poison every downstream recomputation.
+            if prob_raw in (None, "") or label_raw in (None, ""):
+                raise ValueError(
+                    f"{path}: row {i + 1} lacks prob/label "
+                    f"(prob={prob_raw!r}, label={label_raw!r}) — "
+                    f"corrupt or truncated outputs CSV"
+                )
             frames.append(
                 FrameRecord(
                     frame_id=str(row.get("frame_id") or f"frame_{i}"),
-                    prob=float(row.get("prob") or 0.0),
-                    label=int(float(label_raw)) if label_raw not in (None, "") else 0,
+                    prob=float(prob_raw),
+                    label=int(float(label_raw)),
                     pred=int(float(pred_raw)) if pred_raw not in (None, "") else None,
                     case_id=row.get("case_id") or None,
                     center_id=row.get("center_id") or None,
@@ -180,13 +192,25 @@ def compute_binary_metrics(
     return out
 
 
+def bce_loss_from_probs(probs: np.ndarray, labels: np.ndarray,
+                        eps: float = 1e-7) -> float:
+    """Clipped mean binary cross-entropy on raw arrays — the single
+    implementation every recomputation site shares (exp5a's suites call
+    this too, so the eps/clip formula cannot drift between copies)."""
+    probs = np.clip(np.asarray(probs, dtype=float), eps, 1 - eps)
+    labels = np.asarray(labels, dtype=float)
+    return float(-np.mean(labels * np.log(probs) + (1 - labels) * np.log(1 - probs)))
+
+
 def bce_loss_from_frames(frames: Sequence[FrameRecord], eps: float = 1e-7) -> float:
     """Recompute the mean binary cross-entropy from exported probabilities
     (reference ``reporting/metrics.py:56`` recomputes it from outputs CSVs
     so reported losses are auditable)."""
-    probs = np.clip(np.asarray([f.prob for f in frames], dtype=float), eps, 1 - eps)
-    labels = np.asarray([f.label for f in frames], dtype=float)
-    return float(-np.mean(labels * np.log(probs) + (1 - labels) * np.log(1 - probs)))
+    return bce_loss_from_probs(
+        np.asarray([f.prob for f in frames], dtype=float),
+        np.asarray([f.label for f in frames], dtype=float),
+        eps,
+    )
 
 
 def build_cluster_map(frames: Sequence[FrameRecord], key: str = "case_id") -> Dict[str, List[int]]:

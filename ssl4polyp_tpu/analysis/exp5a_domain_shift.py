@@ -25,7 +25,7 @@ from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
 import numpy as np
 
 from .bootstrapper import DEFAULT_BOOTSTRAP_SEED
-from .common import CommonRun, load_common_run
+from .common import CommonRun, bce_loss_from_probs, load_common_run
 from .display import format_delta, format_value
 from .guardrails import GuardrailViolation
 from .frame_bootstrap import metric_from_frames
@@ -62,11 +62,17 @@ def _suite(probs: np.ndarray, labels: np.ndarray, tau: float) -> Dict[str, float
         for m in PRIMARY_METRICS
         if m != "loss"
     }
-    eps = 1e-7
-    clipped = np.clip(probs, eps, 1 - eps)
-    lab = labels.astype(float)
-    out["loss"] = float(-np.mean(lab * np.log(clipped) + (1 - lab) * np.log(1 - clipped)))
+    out["loss"] = bce_loss_from_probs(probs, labels)
     return out
+
+
+def _one_metric(metric: str, probs: np.ndarray, labels: np.ndarray,
+                tau: float) -> float:
+    """Single metric from frames (the bootstrap hot loops need one value,
+    not the full 8-metric suite per replicate)."""
+    if metric == "loss":
+        return bce_loss_from_probs(probs, labels)
+    return metric_from_frames(metric, probs, labels, tau)
 
 
 def _resolve_relative(metrics_path: Path, entry: str) -> Optional[Path]:
@@ -74,18 +80,25 @@ def _resolve_relative(metrics_path: Path, entry: str) -> Optional[Path]:
     (the engine writes parent paths relative to the run layout's base dir,
     which is some ancestor of the metrics file — reference
     ``_resolve_relative_path``, ``exp5a_report.py:496-520``)."""
+    candidates = _resolve_relative_all(metrics_path, entry)
+    return candidates[0] if candidates else None
+
+
+def _resolve_relative_all(metrics_path: Path, entry: str) -> List[Path]:
+    """All existing ancestor resolutions (closest first)."""
     candidate = Path(entry)
     if candidate.is_absolute():
-        return candidate if candidate.exists() else None
+        return [candidate] if candidate.exists() else []
+    found: List[Path] = []
     parent = metrics_path.parent
     for _ in range(6):
         resolved = parent / candidate
         if resolved.exists():
-            return resolved
+            found.append(resolved)
         if parent.parent == parent:
             break
         parent = parent.parent
-    return None
+    return found
 
 
 def resolve_parent_run(run: CommonRun) -> Optional[CommonRun]:
@@ -101,10 +114,29 @@ def resolve_parent_run(run: CommonRun) -> Optional[CommonRun]:
     entry = metrics_info.get("path")
     if not isinstance(entry, str) or not entry:
         return None
-    parent_path = _resolve_relative(run.metrics_path, entry)
-    if parent_path is None:
+    candidates = _resolve_relative_all(run.metrics_path, entry)
+    if not candidates:
         return None
-    return load_common_run(parent_path)
+    # The engine records the parent metrics digest precisely so ancestor
+    # probing cannot silently pick up a DIFFERENT training's file from a
+    # nested/copied runs tree — accept only a digest-matching candidate
+    # when a digest is recorded.
+    recorded_sha = metrics_info.get("sha256")
+    if isinstance(recorded_sha, str) and recorded_sha:
+        import hashlib
+
+        digests = []
+        for candidate in candidates:
+            actual = hashlib.sha256(candidate.read_bytes()).hexdigest()
+            if actual == recorded_sha:
+                return load_common_run(candidate)
+            digests.append(f"{candidate}={actual[:12]}…")
+        raise GuardrailViolation(
+            f"{run.metrics_path}: no resolution of parent path {entry!r} "
+            f"matches the recorded sha256 {recorded_sha[:12]}… "
+            f"(candidates: {'; '.join(digests)}) — wrong parent tree?"
+        )
+    return load_common_run(candidates[0])
 
 
 class Exp5aView:
@@ -189,6 +221,12 @@ class Exp5aView:
         if idx is None:
             return _suite(self.probs, self.labels, self.tau)
         return _suite(self.probs[idx], self.labels[idx], self.tau)
+
+    def polyp_metric(self, metric: str,
+                     idx: Optional[np.ndarray] = None) -> float:
+        if idx is None:
+            return _one_metric(metric, self.probs, self.labels, self.tau)
+        return _one_metric(metric, self.probs[idx], self.labels[idx], self.tau)
 
     def sun_suite(self, idx: Optional[np.ndarray] = None) -> Dict[str, float]:
         assert self.sun_probs is not None and self.sun_labels is not None
@@ -290,7 +328,13 @@ def _prepare_views(run_set: RunSet) -> Dict[str, Dict[int, Exp5aView]]:
     for condition in run_set.conditions():
         for seed, run in sorted(run_set.runs[condition].items()):
             if not run.frames:
-                continue
+                # No silent drops: losing a seed would skew every delta
+                # and per-centre table without a trace (layer posture:
+                # reports never silently skip bad runs).
+                raise GuardrailViolation(
+                    f"exp5a needs the outputs CSV for {condition} seed "
+                    f"{seed}: none found next to {run.metrics_path}"
+                )
             views.setdefault(condition, {})[seed] = Exp5aView(
                 run, model=condition, seed=seed
             )
@@ -418,13 +462,13 @@ def domain_shift_section(run_set: RunSet, output_dir: Path) -> List[str]:
         all_centers = sorted({c for v in per_seed.values() for c in v.centers})
         for center in all_centers:
             acc: Dict[str, List[float]] = {"auroc": [], "f1": []}
-            n_frames = 0
+            frame_counts: List[int] = []
             prevalences: List[float] = []
             for view in per_seed.values():
                 idx = view.centers.get(center)
                 if idx is None:
                     continue
-                n_frames = int(idx.size)
+                frame_counts.append(int(idx.size))
                 labels = view.labels[idx]
                 prevalences.append(float((labels == 1).mean()))
                 vals = view.polyp_suite(idx)
@@ -436,8 +480,17 @@ def domain_shift_section(run_set: RunSet, output_dir: Path) -> List[str]:
                 vals = acc[metric]
                 cells.append(format_value(float(np.mean(vals))) if vals else "—")
             prevalence = float(np.mean(prevalences)) if prevalences else float("nan")
+            # Seeds run the SAME pack, so counts normally agree; when they
+            # don't (the center_alignment warning case) show the range
+            # instead of whichever seed iterated last.
+            if not frame_counts:
+                frames_cell = "0"
+            elif min(frame_counts) == max(frame_counts):
+                frames_cell = str(frame_counts[0])
+            else:
+                frames_cell = f"{min(frame_counts)}–{max(frame_counts)}"
             center_rows.append(
-                f"| {model} | {center} | {n_frames} | {format_value(prevalence)} | "
+                f"| {model} | {center} | {frames_cell} | {format_value(prevalence)} | "
                 + " | ".join(cells) + " |"
             )
     if center_rows:
@@ -496,8 +549,8 @@ def domain_shift_section(run_set: RunSet, output_dir: Path) -> List[str]:
                         idx = base_runs[s].indices_for_centers(drawn)
                         idx_c = cont_runs[s].indices_for_centers(drawn)
                         delta = (
-                            cont_runs[s].polyp_suite(idx_c)[metric]
-                            - base_runs[s].polyp_suite(idx)[metric]
+                            cont_runs[s].polyp_metric(metric, idx_c)
+                            - base_runs[s].polyp_metric(metric, idx)
                         )
                         if math.isfinite(delta):
                             vals.append(delta)

@@ -30,7 +30,12 @@ def _subset_condition(run: CommonRun) -> Optional[str]:
     provenance = run.payload.get("provenance") or {}
     percent = provenance.get("subset_percent", 100)
     model = run.model or "model"
-    return f"{model}@p{int(float(percent))}"
+    # Preserve fractional percents (int() would collapse 12.5 → 12 and
+    # 0.5 → 0, corrupting condition identity and the learning-curve
+    # x-axis); integral values keep the compact p10/p25 form.
+    value = float(percent)
+    token = str(int(value)) if value == int(value) else repr(value)
+    return f"{model}@p{token}"
 
 
 def _fewshot_condition(run: CommonRun) -> Optional[str]:
@@ -158,10 +163,22 @@ def _strata_policy_section(run_set: RunSet) -> List[str]:
     from .seed_checks import SeedCheckError  # noqa: F401 (documentation import)
 
     prepared: Dict[str, Dict[int, _Exp3Run]] = {}
+    missing: List[str] = []
     for condition in run_set.conditions():
         for seed, run in run_set.runs[condition].items():
             if run.frames:
                 prepared.setdefault(condition, {})[seed] = _Exp3Run(run)
+            else:
+                missing.append(f"{condition} seed {seed} ({run.metrics_path})")
+    if missing and prepared:
+        # Partial coverage would silently skew the strata tables and the
+        # paired deltas — fail loudly (reports never silently skip runs).
+        from .guardrails import GuardrailViolation
+
+        raise GuardrailViolation(
+            "exp3 strata need outputs CSVs for every run; missing: "
+            + "; ".join(missing)
+        )
     if not prepared:
         return []
 

@@ -211,27 +211,32 @@ class FrameBootstrapper:
             for s in seeds
         }
         rng = self._rng()
-        # Shared cluster keys per seed, hoisted out of the replicate loop:
-        # draw keys ONCE per replicate and map the same multiset into each
-        # run's own index groups — paired regardless of row order or
-        # coverage skew (same fix as exp_reports/exp5a paired bootstraps).
-        shared_keys = {
-            s: [k for k in sample_a[s].cluster_keys
-                if k in set(sample_b[s].cluster_keys)]
-            for s in seeds
-        }
+        # Per-seed pairing tables, hoisted out of the replicate loop: the
+        # shared key list plus each run's key-aligned index groups, so a
+        # replicate is one integer draw + two fancy-index concatenations
+        # (draw keys ONCE, map the same multiset into each run's own
+        # groups — paired regardless of row order or coverage skew).
+        pairing = {}
+        for s in seeds:
+            fa, fb = sample_a[s], sample_b[s]
+            keys_b = set(fb.cluster_keys)
+            shared = [k for k in fa.cluster_keys if k in keys_b]
+            lookup_a = dict(zip(fa.cluster_keys, fa.clusters))
+            lookup_b = dict(zip(fb.cluster_keys, fb.clusters))
+            groups_a = [np.asarray(lookup_a[k], dtype=int) for k in shared]
+            groups_b = [np.asarray(lookup_b[k], dtype=int) for k in shared]
+            pairing[s] = (shared, groups_a, groups_b)
         draws: List[float] = []
         for _ in range(self.n_resamples):
             deltas = []
             for s in seeds:
                 fa, fb = sample_a[s], sample_b[s]
-                keys = shared_keys[s]
-                if not keys:
+                shared, groups_a, groups_b = pairing[s]
+                if not shared:
                     continue
-                draw = rng.integers(0, len(keys), size=len(keys))
-                drawn = [keys[int(d)] for d in draw]
-                idx_a = fa.indices_for_keys(drawn)
-                idx_b = fb.indices_for_keys(drawn)
+                draw = rng.integers(0, len(shared), size=len(shared))
+                idx_a = np.concatenate([groups_a[int(d)] for d in draw])
+                idx_b = np.concatenate([groups_b[int(d)] for d in draw])
                 deltas.append(fb.metric(metric, idx_b) - fa.metric(metric, idx_a))
             if deltas:
                 draws.append(float(np.nanmean(deltas)))
@@ -314,13 +319,45 @@ def bootstrap_curves(
             curves_point[name].append(value)
             points[name][x] = (value, float("nan"), float("nan"))
 
-    # Shared draws
+    # Shared, genuinely PAIRED draws: at each (x, seed) the SAME drawn
+    # cluster-key multiset maps into every series' own index groups, so a
+    # replicate's delta differences correlated resamples (variance
+    # Var(a)+Var(b)-2Cov) — the tables below advertise "paired bootstrap"
+    # and must mean it.  Series at one x share the test pack (composition
+    # is guardrail-validated identical), so the shared-key intersection is
+    # normally every cluster; a series with disjoint clusters falls back
+    # to an independent draw for that (x, seed).
     rng = np.random.default_rng(seed)
+    pair_tables: Dict[Tuple[float, int], Tuple[int, Dict[str, list]]] = {}
+    for x in xs:
+        seeds_at_x = sorted(
+            {s for name in series_names for s in (data[name].get(x) or {})}
+        )
+        for s in seeds_at_x:
+            present = [n for n in series_names if s in (data[n].get(x) or {})]
+            if len(present) < 2:
+                continue
+            key_lists = [data[n][x][s].cluster_keys for n in present]
+            rest = [set(ks) for ks in key_lists[1:]]
+            shared = [k for k in key_lists[0] if all(k in r for r in rest)]
+            if not shared:
+                continue
+            groups = {}
+            for n in present:
+                fs = data[n][x][s]
+                lookup = dict(zip(fs.cluster_keys, fs.clusters))
+                groups[n] = [np.asarray(lookup[k], dtype=int) for k in shared]
+            pair_tables[(x, s)] = (len(shared), groups)
+
     draw_values: Dict[str, Dict[float, List[float]]] = {
         name: {x: [] for x in xs} for name in series_names
     }
     draw_aulc: Dict[str, List[float]] = {name: [] for name in series_names}
     for _ in range(n_resamples):
+        shared_draws: Dict[Tuple[float, int], np.ndarray] = {
+            key: rng.integers(0, n_keys, size=n_keys)
+            for key, (n_keys, _) in pair_tables.items()
+        }
         for name in series_names:
             curve = []
             for x in xs:
@@ -328,9 +365,16 @@ def bootstrap_curves(
                 if not per_seed:
                     curve.append(float("nan"))
                     continue
-                vals = [
-                    fs.metric(metric, fs.resample(rng)) for fs in per_seed.values()
-                ]
+                vals = []
+                for s, fs in sorted(per_seed.items()):
+                    table = pair_tables.get((x, s))
+                    if table is not None and name in table[1]:
+                        groups = table[1][name]
+                        draw = shared_draws[(x, s)]
+                        idx = np.concatenate([groups[int(d)] for d in draw])
+                        vals.append(fs.metric(metric, idx))
+                    else:
+                        vals.append(fs.metric(metric, fs.resample(rng)))
                 value = float(np.nanmean(vals))
                 draw_values[name][x].append(value)
                 curve.append(value)

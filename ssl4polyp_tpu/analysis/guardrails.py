@@ -507,10 +507,19 @@ class ResultLoader:
                         f"{metrics_path}: curve file missing {curve_path}"
                     )
                 continue
-            digest = compute_file_sha256(curve_path)
             declared = entry.get("sha256")
-            expected = declared.strip().lower() if isinstance(declared, str) and declared.strip() else digest
-            if expected != digest:
+            if not (isinstance(declared, str) and declared.strip()):
+                # A digest-less entry makes the check vacuous (comparing a
+                # file hash to itself): in strict mode demand the declared
+                # digest; otherwise skip the pointless hashing.
+                if self.enforce_curve_exports:
+                    raise GuardrailViolation(
+                        f"{metrics_path}: curve_exports[{key!r}] lacks a "
+                        f"sha256 to verify against"
+                    )
+                continue
+            digest = compute_file_sha256(curve_path)
+            if declared.strip().lower() != digest:
                 raise GuardrailViolation(
                     f"{metrics_path}: curve_exports[{key!r}] digest mismatch"
                 )

@@ -154,10 +154,18 @@ def export_frame_outputs(
             row, ("frame_id", "orig_frame_id", "frame", "frame_path", "image_id")
         ) or f"idx_{idx}"
         origin = _meta_value(row, ("origin", "store_id", "dataset", "source_dataset"))
+        if idx >= len(targets):
+            # A probs/targets length mismatch is a pipeline bug; an empty
+            # label cell would poison the analysis layer (the reader
+            # hard-fails on it), so fail at export time with context.
+            raise ValueError(
+                f"outputs export: {len(probabilities)} probabilities but "
+                f"only {len(targets)} targets (row {idx})"
+            )
         payload: Dict[str, Any] = {
             "frame_id": frame_id,
             "prob": float(probabilities[idx]),
-            "label": int(targets[idx]) if idx < len(targets) else None,
+            "label": int(targets[idx]),
             "pred": int(preds[idx]) if idx < len(preds) else None,
             "origin": origin,
         }

@@ -847,3 +847,43 @@ def test_frame_bootstrap_pairing_survives_row_reorder():
     # shared clusters carry identical probs => paired deltas stay ~0 even
     # though run a has clusters run b lacks
     assert all(abs(s) < 1e-12 for s in delta_partial.samples)
+
+
+def test_bootstrap_curves_deltas_are_paired():
+    """Identical series must yield EXACTLY zero delta draws at every x and
+    for AULC — only a shared-draw, key-paired bootstrap guarantees that
+    (independent per-series draws would give nonzero spread; review
+    finding, round 4)."""
+    import numpy as np
+
+    from ssl4polyp_tpu.analysis.frame_bootstrap import (
+        FrameSample,
+        bootstrap_curves,
+    )
+
+    rng = np.random.default_rng(11)
+    data = {}
+    for name in ("a", "b"):
+        per_x = {}
+        for x in (10.0, 25.0, 50.0):
+            per_seed = {}
+            for s in (13, 29):
+                labels = rng.integers(0, 2, 120)
+                probs = np.clip(
+                    rng.normal(0.5 + (labels - 0.5) * 0.4, 0.2), 0, 1
+                )
+                cases = [f"c{i % 12}" for i in range(120)]
+                per_seed[s] = FrameSample.build(probs, labels, cases, 0.5)
+            per_x[x] = per_seed
+        data[name] = per_x
+    # make series b IDENTICAL to a (same FrameSample objects)
+    data["b"] = data["a"]
+
+    result = bootstrap_curves(data, metric="auroc", n_resamples=100,
+                              pairs=[("a", "b")])
+    per_x = result.per_x_deltas[("a", "b")]
+    for x, delta in per_x.items():
+        assert delta.mean == 0.0
+        assert all(s == 0.0 for s in delta.samples), x
+    lo, hi = result.aulc_deltas[("a", "b")][1:]
+    assert lo == 0.0 and hi == 0.0
