@@ -729,6 +729,25 @@ def run_classification_training(
                     sensitivity_record = dict(stored_sensitivity)
                 global_step = start_epoch * steps_per_epoch
                 best_checkpoint_path = Path(resume_path).resolve()
+                # Seed the early stopper / plateau scheduler from the
+                # restored best: a fresh stopper (_best=None) would treat
+                # the first post-resume epoch as an improvement and reset
+                # patience, letting a resumed run train up to `patience`
+                # extra epochs vs an uninterrupted one.  Resume continues
+                # from the BEST epoch, so bad_epochs legitimately restarts
+                # at 0; the best value/epoch must carry over.
+                if best_monitor is not None:
+                    stopper.load_state_dict({
+                        "best": float(best_monitor),
+                        "best_epoch": int(meta.get("epoch", -1)),
+                        "bad_epochs": 0,
+                    })
+                    if plateau is not None:
+                        plateau.load_state_dict({
+                            "scale": float(meta.get("plateau_scale", 1.0)),
+                            "best": float(best_monitor),
+                            "bad_epochs": 0,
+                        })
                 logger.text(
                     f"resumed from {Path(resume_path).name} at epoch {start_epoch}"
                 )
@@ -925,6 +944,10 @@ def run_classification_training(
                     "seed": plan.seed,
                     "stem": layout.stem,
                     "model_cfg": _model_cfg_meta(ctx),
+                    # plateau LR scale at save time — restored on resume so
+                    # the reduced LR survives interruption
+                    **({"plateau_scale": plateau.state_dict()["scale"]}
+                       if plateau is not None else {}),
                     "thresholds": exports.build_thresholds_block(
                         thresholds_map,
                         policy=plan.threshold_policy,
@@ -960,6 +983,26 @@ def run_classification_training(
                 NamedSharding(mesh, P()),
             )
             meta = restored.get("meta", {})
+            # Restore the BEST epoch's τ records alongside its params: the
+            # loop variables hold the LAST epoch's τ, derived from a model
+            # that is not the one being tested — exactly the τ/checkpoint
+            # provenance mismatch the guardrails exist to prevent.
+            best_thresholds = meta.get("thresholds") or {}
+            stored_primary = best_thresholds.get("primary")
+            if isinstance(stored_primary, Mapping) and stored_primary.get("tau") is not None:
+                primary_tau = float(stored_primary["tau"])
+                primary_record = dict(stored_primary)
+                if plan.threshold_policy and plan.threshold_policy not in ("none",):
+                    threshold_key = th.format_threshold_key(
+                        dataset_name,
+                        plan.dataset_resolved.get("val_split") or "val",
+                        plan.threshold_policy,
+                    )
+                    thresholds_map[threshold_key] = primary_tau
+            stored_sensitivity = best_thresholds.get("sensitivity")
+            if isinstance(stored_sensitivity, Mapping) and stored_sensitivity.get("tau") is not None:
+                sensitivity_tau = float(stored_sensitivity["tau"])
+                sensitivity_record = dict(stored_sensitivity)
             logger.text(
                 f"reloaded best checkpoint {best_checkpoint_path.name} "
                 f"({monitor_name}={meta.get('monitor_value')})"

@@ -158,7 +158,16 @@ def run_mae_finetune(
     settings: MAEFinetuneSettings = MAEFinetuneSettings(),
     mesh=None,
 ) -> Dict[str, Any]:
-    """Full fine-tune with layer-wise LR decay (upstream ``main_finetune``)."""
+    """Full fine-tune with layer-wise LR decay (upstream ``main_finetune``).
+
+    pos_embed is TRAINABLE here (it receives the embeddings-group layer
+    decay) — upstream's fine-tune model is a standard trainable-pos-embed
+    ViT whose table is initialised from the MAE checkpoint and then
+    trained (``models_vit.py`` + ``lr_decay.param_groups_lrd``); only the
+    SSL4POLYP classifier lineage (``ViT_from_MAE``) inherits the frozen
+    buffer, which ``classification.ScheduleRuntime(freeze_pos_embed=...)``
+    handles.  The two lineages intentionally differ.
+    """
     mesh = mesh or build_mesh()
     params = classifier.params
     lr_scale = optim.layerwise_lr_decay_scales(

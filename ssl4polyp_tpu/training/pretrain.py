@@ -199,8 +199,9 @@ def make_pretrain_step(
     def step_fn(params, params_c, opt_state, images_u8, epoch_key, it0, lr,
                 lr_scale, wd_scale):
         # Per-step keys are fold_in(epoch_key, global_iteration) regardless
-        # of dispatch fusion, so steps_per_call=K is bit-identical to K
-        # sequential dispatches (tested).
+        # of dispatch fusion, and the fused path takes a (K,) lr VECTOR so
+        # each step samples the per-iteration cosine at its own global step
+        # — steps_per_call=K matches K sequential dispatches (tested).
         if steps_per_call == 1:
             return one_step(
                 params, params_c, opt_state, images_u8,
@@ -209,15 +210,15 @@ def make_pretrain_step(
 
         def body(carry, xs):
             p, p_c, s = carry
-            chunk_images, offset = xs
+            chunk_images, offset, step_lr = xs
             step_key = jax.random.fold_in(epoch_key, it0 + offset)
             p, p_c, s, metrics = one_step(
-                p, p_c, s, chunk_images, step_key, lr, lr_scale, wd_scale)
+                p, p_c, s, chunk_images, step_key, step_lr, lr_scale, wd_scale)
             return (p, p_c, s), metrics
 
         offsets = jnp.arange(steps_per_call)
         (params, params_c, opt_state), metrics = jax.lax.scan(
-            body, (params, params_c, opt_state), (images_u8, offsets)
+            body, (params, params_c, opt_state), (images_u8, offsets, lr)
         )
         last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         last["loss"] = jnp.mean(metrics["loss"])
@@ -284,9 +285,19 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
     # ---- resume --------------------------------------------------------
     resume_path: Optional[Path] = None
     if settings.resume == "auto":
-        candidates = sorted(ckpt_dir.glob("checkpoint-*.ckpt"))
-        if candidates:
-            resume_path = candidates[-1]
+        # Prefer the last.ckpt pointer; fall back to the NUMERICALLY
+        # greatest epoch (lexicographic sort would resume checkpoint-99
+        # over checkpoint-119 and silently discard epochs).
+        pointer = ckpt_dir / "last.ckpt"
+        if pointer.exists():
+            resume_path = pointer
+        else:
+            candidates = sorted(
+                ckpt_dir.glob("checkpoint-*.ckpt"),
+                key=lambda p: int(p.stem.split("-")[-1]),
+            )
+            if candidates:
+                resume_path = candidates[-1]
     elif settings.resume:
         resume_path = Path(settings.resume)
     if resume_path is not None and resume_path.exists():
@@ -369,6 +380,7 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
             epoch_loss = 0.0
             epoch_log_points = 0
             epoch_steps = 0
+            steps_since_log = 0
             t0 = time.perf_counter()
             last_save_time = time.perf_counter()
             pending: list = []
@@ -385,13 +397,17 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
                 if not pending:
                     break
                 chunk = len(pending)
-                lr = schedule(step_global)
+                # Per-step schedule values: the per-iteration cosine is
+                # sampled at each step's own global index even inside a
+                # fused dispatch (matches K sequential dispatches).
+                lrs = [schedule(step_global + j) for j in range(chunk)]
                 epoch_key = jax.random.fold_in(root_key, epoch)
                 if steps_per_call > 1 and chunk == steps_per_call:
                     device_batch = jax.device_put(np.stack(pending), data_sharding)
                     params, params_c, opt_state, metrics = train_step(
                         params, params_c, opt_state, device_batch,
-                        epoch_key, jnp.int32(it), jnp.float32(lr), lr_scale, wd_scale,
+                        epoch_key, jnp.int32(it),
+                        jnp.asarray(lrs, jnp.float32), lr_scale, wd_scale,
                     )
                 else:
                     # tail: dispatch remaining batches one step at a time
@@ -400,11 +416,13 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
                         device_batch = jax.device_put(single, single_sharding)
                         params, params_c, opt_state, metrics = train_step_single(
                             params, params_c, opt_state, device_batch,
-                            epoch_key, jnp.int32(it + j), jnp.float32(lr),
+                            epoch_key, jnp.int32(it + j), jnp.float32(lrs[j]),
                             lr_scale, wd_scale,
                         )
+                lr = lrs[-1]
                 step_global += chunk if steps_per_call > 1 else 1
                 epoch_steps += chunk if steps_per_call > 1 else 1
+                steps_since_log += chunk
                 if (it // max(1, steps_per_call)) % max(
                     1, settings.log_interval // max(1, steps_per_call)
                 ) == 0:
@@ -420,9 +438,13 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
                         )
                     epoch_loss += loss_value
                     epoch_log_points += 1
+                    # Actual steps since the last log — the fused cadence is
+                    # chunk-quantized, so the nominal log_interval would
+                    # over-report by up to log_interval/steps_per_call.
                     rate = throughput.tick(
-                        settings.effective_batch * settings.log_interval
+                        settings.effective_batch * steps_since_log
                     )
+                    steps_since_log = 0
                     logger.scalar("train/loss", loss_value, step_global)
                     logger.scalar("train/lr", lr, step_global)
                     logger.scalar("train/grad_norm", float(metrics["grad_norm"]), step_global)

@@ -373,19 +373,21 @@ def resolve_run_plan(
         active_seed = 0
         training_seeds = [0]
 
-    # dataset seed: prefer explicit, else training seed when compatible
+    # dataset (pack) seed: explicit wins; else the active training seed when
+    # it is one of the declared pack seeds (a config listing several pack
+    # seeds pairs them with the training trio); else the first declared
+    # pack seed (the shipped configs declare a single pack seed [13], so
+    # every training seed runs the same pack — reference semantics); else
+    # the active training seed for patterned packs.
     dataset_seed_candidates = _normalize_seeds(dataset_cfg.get("seeds"))
     if dataset_cfg.get("seed") is None:
-        if dataset_seed_candidates and active_seed not in dataset_seed_candidates:
-            dataset_cfg["seed"] = dataset_seed_candidates[0]
-        elif "train_pattern" in dataset_cfg or "pack_pattern" in dataset_cfg:
-            # Patterned packs default to their declared pack seed trio, else
-            # the active training seed.
+        if dataset_seed_candidates:
             dataset_cfg["seed"] = (
-                dataset_seed_candidates[0] if dataset_seed_candidates else active_seed
+                active_seed if active_seed in dataset_seed_candidates
+                else dataset_seed_candidates[0]
             )
-        elif dataset_seed_candidates:
-            dataset_cfg["seed"] = dataset_seed_candidates[0]
+        elif "train_pattern" in dataset_cfg or "pack_pattern" in dataset_cfg:
+            dataset_cfg["seed"] = active_seed
 
     dataset_resolved = resolve_dataset_specs(dataset_cfg)
     dataset_layout = resolve_dataset_layout(dataset_cfg, dataset_resolved, active_seed)
@@ -413,13 +415,10 @@ def resolve_run_plan(
         if schedule[0].head_lr is not None:
             lr = schedule[0].head_lr
 
-    # --- thresholds ---------------------------------------------------------
+    # --- thresholds (resolved below, after exp5a detection: the auto
+    # table needs is_exp5a/dataset identity) -------------------------------
     thresholds_cfg = protocol_cfg.get("thresholds") or {}
     expected_primary = thresholds_cfg.get("primary")
-    threshold_policy = str(
-        expected_primary or cfg.get("threshold_policy") or "auto"
-    )
-    sensitivity_policy = thresholds_cfg.get("sensitivity")
 
     # --- exp5a detection + canonical parent ---------------------------------
     init_from = protocol_cfg.get("init_from")
@@ -446,6 +445,17 @@ def resolve_run_plan(
                 f"Unsupported model {resolved_model_key!r} for canonical SUN init"
             ) from exc
 
+    # --- threshold policy resolution (aliases + auto table + assertion) ----
+    binary_task = int(cfg.get("num_classes", dataset_cfg.get("num_classes", 2))) == 2
+    threshold_policy, sensitivity_policy = resolve_threshold_policies(
+        raw_policy=str(expected_primary or cfg.get("threshold_policy") or "auto"),
+        expected_primary=expected_primary,
+        sensitivity_policy=thresholds_cfg.get("sensitivity"),
+        dataset_name=dataset_name,
+        binary_task=binary_task,
+        is_exp5a=is_exp5a,
+    )
+
     # --- scheduler / early stop ----------------------------------------------
     scheduler_cfg = cfg.get("scheduler")
     scheduler_name = "none"
@@ -468,7 +478,13 @@ def resolve_run_plan(
     batch_size = int(cfg.get("batch_size", 128))
     recommended = recommend_fewshot_batch_size(dataset_layout)
     if recommended is not None and "batch_size" not in (overrides or {}):
-        batch_size = min(batch_size, recommended * max(1, 1))
+        # The recommendation is PER-DEVICE and REPLACES the configured
+        # batch (reference: ``args.batch_size = recommended * world_size``,
+        # train_classification.py:5505-5516); our batch_size is global
+        # across the mesh.
+        import jax
+
+        batch_size = recommended * max(1, jax.device_count())
 
     perturbation_splits: List[str] = []
     if dataset_name == "sun_test_perturbations":

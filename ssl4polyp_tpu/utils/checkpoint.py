@@ -125,7 +125,14 @@ def cleanup_checkpoints(
     found.sort()
     keep: set[Path] = {p for _, p in found[-keep_last:]} if keep_last else set()
     if keep_every_n_epochs:
-        keep.update(p for epoch, p in found if epoch % keep_every_n_epochs == 0)
+        # Milestones on COMPLETED-epoch counts: the pretrain engine saves
+        # when (epoch+1) % save_freq == 0 (epochs 19, 39, …), so the
+        # milestone filter must use the same 1-based convention — an
+        # epoch%N==0 filter never matches any saved epoch and silently
+        # deletes every intended milestone.
+        keep.update(
+            p for epoch, p in found if (epoch + 1) % keep_every_n_epochs == 0
+        )
     removed: List[Path] = []
     for _, item in found:
         if item not in keep:

@@ -40,10 +40,14 @@ def test_retention(tmp_path):
         save_checkpoint(tmp_path / f"checkpoint-{epoch}.ckpt", {"e": jnp.asarray(epoch)}, {})
     removed = cleanup_checkpoints(tmp_path, keep_last=2, keep_every_n_epochs=4)
     kept = sorted(p.name for p in tmp_path.glob("checkpoint-*.ckpt"))
+    # Milestones use the 1-based completed-epoch convention so they align
+    # with the engine's (epoch+1) % save_freq save cadence (epoch%N==0
+    # would never match a saved epoch at the paper settings and every
+    # milestone would be deleted).
     assert kept == [
-        "checkpoint-0.ckpt",  # milestone 0
-        "checkpoint-4.ckpt",  # milestone 4
-        "checkpoint-8.ckpt",  # milestone 8 + last-2
+        "checkpoint-3.ckpt",  # milestone: 4 epochs completed
+        "checkpoint-7.ckpt",  # milestone: 8 epochs completed
+        "checkpoint-8.ckpt",  # last-2
         "checkpoint-9.ckpt",  # last-2
     ]
     assert len(removed) == 6

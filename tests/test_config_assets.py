@@ -84,5 +84,10 @@ def test_exp5c_budgets(size, epochs, stage1_mode):
     assert plan.finetune_mode == "none"  # stage 0
     assert plan.finetune_schedule[1].mode == stage1_mode
     assert plan.dataset_resolved["train_pack"] == f"polypgen_fewshot/polypgen_fewshot_s{size}"
-    assert plan.batch_size <= 32
+    # per-device recommendation x mesh size (reference: recommended *
+    # world_size replaces the configured batch)
+    import jax
+
+    assert plan.batch_size <= 32 * jax.device_count()
+    assert plan.batch_size % jax.device_count() == 0
     assert plan.weight_decay == 0.01

@@ -60,7 +60,9 @@ def test_exp5c_schedule_and_zero_shot(packs, tmp_path):
         parent_checkpoint=str(ctx.layout.checkpoint_path),
     )
     assert plan.epochs == 2
-    assert plan.batch_size == 4  # few-shot budget cap
+    import jax
+
+    assert plan.batch_size == 4 * jax.device_count()  # per-device few-shot cap
     ctx2 = build_run(plan, output_dir=out_dir, pack_root=packs, model_overrides=TINY_MODEL)
     summary = run_classification_training(ctx2)
 

@@ -84,7 +84,11 @@ def test_fewshot_pattern_and_batch():
         cfg, model_key="sup_imnet", seed=13, output_dir="checkpoints/classification"
     )
     assert plan.dataset_resolved["train_pack"] == "polypgen_fewshot/polypgen_fewshot_s50"
-    assert plan.batch_size == 4  # few-shot recommendation caps 128
+    # few-shot recommendation is PER-DEVICE (reference per-rank batches
+    # scaled by world size); the test mesh has 8 virtual devices
+    import jax
+
+    assert plan.batch_size == 4 * jax.device_count()
     assert plan.parent_checkpoint is not None
     assert "exp1_sup_imnet_seed13" in plan.parent_checkpoint
     assert plan.dataset_layout.data_tag == "PolypGenFew50"
