@@ -13,7 +13,9 @@ the batch draws independent parameters.
 
 Known deliberate divergences from torchvision (statistical, not semantic):
 the four colour-jitter sub-ops apply in a fixed order rather than a random
-permutation, and rotation resamples bilinearly rather than nearest-neighbour.
+permutation, rotation resamples bilinearly rather than nearest-neighbour,
+and the separable Gaussian blur pads with ``edge`` mode where torchvision
+pads ``reflect`` (differs only in a kernel-radius border band).
 """
 
 from __future__ import annotations

@@ -137,7 +137,14 @@ class PretrainLoader:
         rng = np.random.default_rng(self.seed + self.epoch)
         order = rng.permutation(len(self.index))
         if self.process_count > 1:
+            # Wrap-around padding (the DistributedSampler contract, same as
+            # HostDataLoader._epoch_order): every process must yield the
+            # SAME number of batches or multi-host SPMD dispatch desyncs —
+            # the short process stops while the others enter a collective.
             per = (len(order) + self.process_count - 1) // self.process_count
+            pad = per * self.process_count - len(order)
+            if pad:
+                order = np.concatenate([order, order[:pad]])
             start = self.process_index * per
             order = order[start : start + per]
         return order
@@ -238,27 +245,36 @@ class PretrainLoader:
 
         native = self._native_enabled()
 
+        failure: list = []
+
         def producer() -> None:
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        break
-                    chunk = [
-                        int(p)
-                        for p in order[b * self.batch_size : (b + 1) * self.batch_size]
-                    ]
-                    images = None
-                    if native:
-                        batch = self._native_batch(chunk)
-                        if batch is not None:
-                            images = list(batch)
-                    if images is None:
-                        images = list(pool.map(self._decode, chunk))
-                    if len(images) < self.batch_size:
-                        pad = self.batch_size - len(images)
-                        images.extend([images[-1]] * pad)
-                    out_queue.put(np.stack(images))
-            out_queue.put(None)
+            # The sentinel (or the failure record) MUST reach the consumer
+            # even when a decode raises — otherwise the consumer blocks on
+            # out_queue.get() forever and pretraining hangs silently.
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            break
+                        chunk = [
+                            int(p)
+                            for p in order[b * self.batch_size : (b + 1) * self.batch_size]
+                        ]
+                        images = None
+                        if native:
+                            batch = self._native_batch(chunk)
+                            if batch is not None:
+                                images = list(batch)
+                        if images is None:
+                            images = list(pool.map(self._decode, chunk))
+                        if len(images) < self.batch_size:
+                            pad = self.batch_size - len(images)
+                            images.extend([images[-1]] * pad)
+                        out_queue.put(np.stack(images))
+            except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
+                failure.append(exc)
+            finally:
+                out_queue.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -266,6 +282,10 @@ class PretrainLoader:
             while True:
                 item = out_queue.get()
                 if item is None:
+                    if failure:
+                        raise RuntimeError(
+                            "PretrainLoader producer failed"
+                        ) from failure[0]
                     break
                 yield item
         finally:

@@ -200,14 +200,23 @@ class HostDataLoader:
         out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        failure: list = []
+
         def producer() -> None:
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        break
-                    lo, hi = b * self.batch_size, (b + 1) * self.batch_size
-                    out_queue.put(self._assemble(order[lo:hi], real[lo:hi], pool))
-            out_queue.put(None)
+            # The sentinel (or the failure record) MUST reach the consumer
+            # even when batch assembly raises, or the consumer blocks on
+            # out_queue.get() forever.
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            break
+                        lo, hi = b * self.batch_size, (b + 1) * self.batch_size
+                        out_queue.put(self._assemble(order[lo:hi], real[lo:hi], pool))
+            except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
+                failure.append(exc)
+            finally:
+                out_queue.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -215,6 +224,10 @@ class HostDataLoader:
             while True:
                 item = out_queue.get()
                 if item is None:
+                    if failure:
+                        raise RuntimeError(
+                            "HostDataLoader producer failed"
+                        ) from failure[0]
                     break
                 yield item
         finally:

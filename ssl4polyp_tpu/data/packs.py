@@ -217,9 +217,16 @@ def create_classification_datasets(
             if manifest is not None:
                 provenance["manifest_path"] = str(manifest)
             stage = _normalise_stage(alias)
+            # Unlabeled only when EVERY label cell is empty; a mix means a
+            # corrupt CSV and fails loudly in _prepare_labels (sniffing on
+            # labels[0] alone would silently zero a labeled split whose
+            # first row happened to lack a label).
+            any_labeled = bool(labels) and any(
+                value not in (None, "") for value in labels
+            )
             datasets[alias] = PackIndex(
                 paths=[str(p) for p in paths],
-                labels=_prepare_labels(labels) if labels and labels[0] not in (None, "") else None,
+                labels=_prepare_labels(labels) if any_labeled else None,
                 meta=[dict(r) for r in rows],
                 split=split_name,
                 stage=stage,

@@ -146,8 +146,17 @@ def resolve_tau(
     if explicit_tau is not None:
         return float(explicit_tau)
     sources = _load_threshold_sources(checkpoint_path)
-    if threshold_key and threshold_key in sources["values"]:
-        return float(sources["values"][threshold_key])
+    if threshold_key:
+        if threshold_key in sources["values"]:
+            return float(sources["values"][threshold_key])
+        # A NAMED key that is absent must fail loudly — silently falling
+        # back to another stored tau would run threshold-sensitive
+        # comparisons at an unintended operating point.
+        available = ", ".join(sorted(sources["values"])) or "<none>"
+        raise KeyError(
+            f"threshold key {threshold_key!r} not stored with "
+            f"{checkpoint_path} (available: {available})"
+        )
     primary = sources["records"].get("primary")
     if isinstance(primary, Mapping) and isinstance(primary.get("tau"), (int, float)):
         return float(primary["tau"])
@@ -185,7 +194,6 @@ def evaluate(
 
     checkpoint = Path(checkpoint)
     restored = load_checkpoint(checkpoint)
-    params = jax.tree_util.tree_map(np.asarray, restored["payload"]["params"])
 
     datasets = create_classification_datasets(
         test_spec=test_spec, pack_root=pack_root, image_size=image_size,
@@ -197,16 +205,29 @@ def evaluate(
     # allowing explicit overrides on top.
     overrides = {}
     stored_cfg = restored.get("meta", {}).get("model_cfg")
+    num_classes = 2
     if isinstance(stored_cfg, Mapping):
         overrides.update({k: v for k, v in stored_cfg.items() if k != "num_classes"})
+        # Rebuild with the TRAINING-TIME head width; hard-coding 2 made
+        # multiclass checkpoints impossible to evaluate.
+        stored_classes = stored_cfg.get("num_classes")
+        if isinstance(stored_classes, int) and stored_classes > 0:
+            num_classes = stored_classes
     overrides.update(dict(model_overrides or {}))
     overrides.setdefault("img_size", image_size)
     classifier = build_classifier(
-        jax.random.PRNGKey(0), {"pretraining": "random"}, num_classes=2, **overrides
+        jax.random.PRNGKey(0), {"pretraining": "random"},
+        num_classes=num_classes, **overrides
     )
-    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    params = jax.tree_util.tree_map(jnp.asarray, params)
+    # Replicated device_put up front: jit caches key on input shardings
+    # (CLAUDE.md; classification.py best-reload does the same) — otherwise
+    # every dispatch re-ships the parameter tree host->devices.
+    params = jax.device_put(
+        jax.tree_util.tree_map(np.asarray, restored["payload"]["params"]),
+        NamedSharding(mesh, P()),
+    )
 
     restored_classifier = type(classifier)(
         params=params, cfg=classifier.cfg, scheme=classifier.scheme
@@ -220,10 +241,11 @@ def evaluate(
         )
         th_loader = HostDataLoader(
             th_sets["val"], batch_size=batch_size, shuffle=False, num_workers=num_workers,
+            process_index=jax.process_index(), process_count=jax.process_count(),
         )
         th_results = evaluate_split(
             forward_factory(params), th_loader, th_sets["val"],
-            split_name="threshold", tau=None,
+            split_name="threshold", num_classes=num_classes, tau=None,
         )
         resolved_tau = compute_youden_threshold(
             th_results["probabilities"], th_results["targets"]
@@ -231,10 +253,12 @@ def evaluate(
 
     loader = HostDataLoader(
         index, batch_size=batch_size, shuffle=False, num_workers=num_workers, drop_last=False,
+        # Disjoint per-process stripes for the multi-host all-gather.
+        process_index=jax.process_index(), process_count=jax.process_count(),
     )
     results = evaluate_split(
         forward_factory(params), loader, index,
-        split_name="test", tau=resolved_tau,
+        split_name="test", num_classes=num_classes, tau=resolved_tau,
         perturbation_eval=index.perturbations_enabled,
     )
 

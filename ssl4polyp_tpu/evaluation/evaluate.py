@@ -262,14 +262,19 @@ def evaluate_split(
     if any(all_case_ids != ""):
         from sklearn.metrics import f1_score, recall_score
 
+        # sklearn's default average='binary' raises on multiclass targets;
+        # macro mirrors the metric module's multiclass convention.
+        _avg = "binary" if num_classes == 2 else "macro"
         case_metrics: Dict[str, Dict[str, float]] = {}
         for case in sorted({c for c in all_case_ids.tolist() if c}):
             mask = all_case_ids == case
             case_metrics[case] = {
                 "recall": float(
-                    recall_score(targets[mask], preds[mask], zero_division=0)
+                    recall_score(targets[mask], preds[mask], zero_division=0,
+                                 average=_avg)
                 ),
-                "f1": float(f1_score(targets[mask], preds[mask], zero_division=0)),
+                "f1": float(f1_score(targets[mask], preds[mask],
+                                     zero_division=0, average=_avg)),
                 "count": float(int(mask.sum())),
             }
         if case_metrics:
@@ -305,6 +310,7 @@ def evaluate_split(
         def case_blocks(mask: np.ndarray) -> Dict[str, Dict[str, float]]:
             from sklearn.metrics import f1_score, recall_score
 
+            avg = "binary" if num_classes == 2 else "macro"
             blocks: Dict[str, Dict[str, float]] = {}
             for case in sorted(set(case_ids[mask].tolist())):
                 case_mask = mask & (case_ids == case)
@@ -312,10 +318,12 @@ def evaluate_split(
                     continue
                 blocks[case] = {
                     "recall": float(
-                        recall_score(targets[case_mask], preds[case_mask], zero_division=0)
+                        recall_score(targets[case_mask], preds[case_mask],
+                                     zero_division=0, average=avg)
                     ),
                     "f1": float(
-                        f1_score(targets[case_mask], preds[case_mask], zero_division=0)
+                        f1_score(targets[case_mask], preds[case_mask],
+                                 zero_division=0, average=avg)
                     ),
                     "count": float(int(case_mask.sum())),
                 }

@@ -555,6 +555,10 @@ def run_classification_training(
         loader = HostDataLoader(
             index, batch_size=plan.batch_size, shuffle=False,
             num_workers=plan.num_workers, drop_last=False,
+            # Disjoint per-process stripes: evaluate_split's multi-host
+            # all-gather assumes them (duplicated stripes would double
+            # every count-bearing metric/artifact).
+            process_index=jax.process_index(), process_count=jax.process_count(),
         )
         return evaluate_split(
             forward_factory(params),
