@@ -141,9 +141,9 @@ def bench_finetune() -> None:
     wd_scale = optim.no_weight_decay_scales(params)
 
     # BENCH_FT_STEPS_PER_CALL=K fuses K optimizer steps per dispatch (the
-    # engine's plan.steps_per_call path) — A/B knob, default 1 (the
-    # round-3 measured operating point).
-    ft_steps = max(1, int(os.environ.get("BENCH_FT_STEPS_PER_CALL", "1")))
+    # engine's plan.steps_per_call path).  Round-4 measured: 4 → 1175.1
+    # vs 1155.9 img/s at 1 (+1.7%); 8 is equal within noise (1174.0).
+    ft_steps = max(1, int(os.environ.get("BENCH_FT_STEPS_PER_CALL", "4")))
 
     def step(p, s, images_u8, labels):
         def loss_fn(p):

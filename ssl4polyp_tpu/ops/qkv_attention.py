@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_qkv_attention"]
+
+# A/B knob (read at trace time): 1 (default) folds the 1/√hd softmax scale
+# into the (H·G, N, hd) Q operand / dq/dk outputs; 0 applies it to the
+# (H·G, N, N) score tensors as the round-3 kernels did.  Same math either
+# way — kept to attribute gate-throughput deltas across sessions.
+_SCALE_FOLD = os.environ.get("BENCH_SCALE_FOLD", "1") == "1"
 
 
 def _split_heads(qkv, base: int, num_heads: int, head_dim: int):
@@ -60,13 +67,16 @@ def _batched_weights(q, k, n_valid: int, scale: float, f32: bool):
 
     q/k: (H·G, N, hd) → weights (H·G, N, N) fp32.  The 1/√hd scale is
     folded into the (H·G, N, hd) Q operand instead of the (H·G, N, N)
-    score tensor — N/hd ≈ 6× less VPU multiply work per block.
+    score tensor — N/hd ≈ 6× less VPU multiply work per block
+    (BENCH_SCALE_FOLD=0 restores the score-tensor placement for A/Bs).
     """
     scores = jax.lax.dot_general(
-        q * jnp.asarray(scale, q.dtype), k,
+        q * jnp.asarray(scale, q.dtype) if _SCALE_FOLD else q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    if not _SCALE_FOLD:
+        scores = scores * scale
     n = scores.shape[-1]
     if n_valid < n:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=2)
@@ -120,17 +130,23 @@ def _bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, n_valid, num_heads, head_dim, sc
     )
     tmp = jnp.sum(dw * weights, axis=-1, keepdims=True)
     # Scale folds into the small (H·G, N, hd) outputs, not the (N, N) ds.
-    ds = (weights * (dw - tmp)).astype(cdtype)
+    if _SCALE_FOLD:
+        ds = (weights * (dw - tmp)).astype(cdtype)
+    else:
+        ds = (weights * (dw - tmp) * scale).astype(cdtype)
     dq = jax.lax.dot_general(
         ds, k,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
     dk = jax.lax.dot_general(  # dSᵀ Q
         ds, q,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
+    if _SCALE_FOLD:
+        dq = dq * scale
+        dk = dk * scale
     dq = dq.reshape(num_heads, G, N, head_dim)
     dk = dk.reshape(num_heads, G, N, head_dim)
     dv = dv.reshape(num_heads, G, N, head_dim)
@@ -325,17 +341,23 @@ def _bwd_bias_kernel(qkv_ref, bias_ref, dout_ref, dqkv_ref, dbias_ref, *,
         preferred_element_type=jnp.float32,
     )
     tmp = jnp.sum(dw * weights, axis=-1, keepdims=True)
-    ds = (weights * (dw - tmp)).astype(cdtype)
+    if _SCALE_FOLD:
+        ds = (weights * (dw - tmp)).astype(cdtype)
+    else:
+        ds = (weights * (dw - tmp) * scale).astype(cdtype)
     dq = jax.lax.dot_general(
         ds, k,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
     dk = jax.lax.dot_general(
         ds, q,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
+    if _SCALE_FOLD:
+        dq = dq * scale
+        dk = dk * scale
     dq = dq.reshape(num_heads, G, N, head_dim)
     dk = dk.reshape(num_heads, G, N, head_dim)
     dv = dv.reshape(num_heads, G, N, head_dim)

@@ -672,7 +672,14 @@ def run_classification_training(
             freeze_pos_embed=ctx.classifier.cfg.pos_embed == "sincos",
         )
         wd_scale = optim.no_weight_decay_scales(params)
-        steps_per_call = max(1, int(plan.steps_per_call))
+        # 0 = "auto" (protocol._resolve_steps_per_call): fuse 4 steps per
+        # dispatch on accelerators (round-4 v5e A/B: 1175.1 vs 1155.9
+        # img/s, +1.7%; 8 adds nothing), stay at 1 on CPU where the fused
+        # program's compile time dominates tiny runs.
+        steps_per_call = int(plan.steps_per_call)
+        if steps_per_call == 0:
+            steps_per_call = 4 if jax.default_backend() != "cpu" else 1
+        steps_per_call = max(1, steps_per_call)
         train_step = make_train_step(ctx, steps_per_call)
         # Tail batches that don't fill a fused dispatch run through a
         # single-step executable (filler steps would apply extra updates).

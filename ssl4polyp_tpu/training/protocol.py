@@ -268,8 +268,10 @@ class RunPlan:
     log_interval: int = 10
     # Optimizer steps fused per device dispatch (lax.scan over stacked
     # batches; identical math — see classification.make_train_step).  >1
-    # amortises fixed dispatch latency on high-latency links.
-    steps_per_call: int = 1
+    # amortises fixed dispatch latency on high-latency links.  0 = "auto":
+    # the engine resolves it per backend (4 on accelerators — round-4 A/B
+    # measured +1.7% on v5e — 1 on CPU where the fused compile dominates).
+    steps_per_call: int = 0
     precision: str = "bf16"
     scheduler: str = "cosine"
     warmup_epochs: int = 5
@@ -308,6 +310,18 @@ class RunPlan:
     # Disable on hosts with slow device->host paths; last/best params are
     # always saved.
     checkpoint_optimizer_state: bool = True
+
+
+def _resolve_steps_per_call(raw: Any) -> int:
+    """Parse the ``steps_per_call`` config value.
+
+    ``"auto"`` (the default) returns the 0 sentinel — the engine resolves
+    it per backend at run time (classification.py), matching the
+    ``unroll_blocks`` platform policy.  Explicit integers are clamped ≥ 1.
+    """
+    if raw is None or (isinstance(raw, str) and raw.strip().lower() == "auto"):
+        return 0
+    return max(1, int(raw))
 
 
 def _sanitize_curve_exports(raw: Any) -> Dict[str, Dict[str, Any]]:
@@ -513,7 +527,7 @@ def resolve_run_plan(
         image_size=int(cfg.get("image_size", 224)),
         num_workers=int(cfg.get("num_workers", 8)),
         log_interval=int(cfg.get("log_interval", 10)),
-        steps_per_call=max(1, int(cfg.get("steps_per_call", 1))),
+        steps_per_call=_resolve_steps_per_call(cfg.get("steps_per_call", "auto")),
         precision=precision,
         scheduler=scheduler_name,
         warmup_epochs=warmup_epochs,

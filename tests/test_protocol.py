@@ -181,3 +181,19 @@ def test_canonical_parent_path():
     assert str(path).endswith(
         "classification/exp2_ssl_colon_seed47/sun_baselines/SslColon_SUNFull_s47.ckpt"
     )
+
+
+def test_steps_per_call_auto_resolution():
+    """"auto"/None → 0 sentinel (engine resolves per backend: 4 on
+    accelerators, 1 on CPU — classification.py); explicit ints clamp ≥ 1."""
+    plan = proto.resolve_run_plan(exp_cfg(), model_key="sup_imnet", seed=13)
+    assert plan.steps_per_call == 0  # default is "auto"
+    for raw, want in [("auto", 0), ("AUTO ", 0), (None, 0), (2, 2), ("7", 7), (0, 1), (-3, 1)]:
+        plan = proto.resolve_run_plan(
+            exp_cfg(steps_per_call=raw), model_key="sup_imnet", seed=13
+        )
+        assert plan.steps_per_call == want, (raw, plan.steps_per_call, want)
+    with pytest.raises(ValueError):
+        proto.resolve_run_plan(
+            exp_cfg(steps_per_call="fast"), model_key="sup_imnet", seed=13
+        )

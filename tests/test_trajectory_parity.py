@@ -248,3 +248,210 @@ def test_bce_pos_weight_matches_torch_elementwise():
         pos_weight=torch.tensor(POS_WEIGHT),
     )
     np.testing.assert_allclose(float(ours), float(want), rtol=1e-6)
+
+
+def _torch_lars_step(tensors, lr, *, weight_decay, momentum_buf,
+                     momentum=0.9, trust_coefficient=0.001, lr_scales=None):
+    """Reference LARS semantics (upstream MAE ``util/lars.py``, the
+    linear-probe optimizer at ``main_linprobe.py:99``), re-expressed as
+    plain tensor ops: layer adaptation + weight decay apply only to
+    ndim>1 tensors; the trust ratio uses the decayed gradient's norm;
+    momentum accumulates the adapted gradient."""
+    with torch.no_grad():
+        for i, p in enumerate(tensors):
+            dp = p.grad.clone()
+            if p.ndim > 1:
+                dp = dp + weight_decay * p
+                p_norm = torch.norm(p)
+                d_norm = torch.norm(dp)
+                q = torch.where(
+                    (p_norm > 0.0) & (d_norm > 0.0),
+                    trust_coefficient * p_norm / d_norm,
+                    torch.ones(()),
+                )
+                dp = dp * q
+            momentum_buf[i] = momentum * momentum_buf[i] + dp
+            scale = 1.0 if lr_scales is None else lr_scales[i]
+            p -= lr * scale * momentum_buf[i]
+
+
+def test_lars_trajectory_matches_torch():
+    """Linear-probe optimizer parity: N LARS steps on a head atop frozen
+    features (upstream ``main_linprobe`` stack — ``mae_finetune.py::
+    run_linear_probe``) match a torch implementation of the same published
+    algorithm step-for-step, including the frozen (lr_scale=0) leaves."""
+    rng = np.random.default_rng(7)
+    D, C, B, steps = 24, 2, 16, 15
+    params = {
+        "encoder": {"kernel": jnp.asarray(rng.standard_normal((D, D)), jnp.float32)},
+        "head": {
+            "kernel": jnp.asarray(rng.standard_normal((D, C)) * 0.02, jnp.float32),
+            "bias": jnp.zeros((C,), jnp.float32),
+        },
+    }
+    # run_linear_probe freezes everything but the head via lr scales
+    lr_scale = {"encoder": {"kernel": 0.0}, "head": {"kernel": 1.0, "bias": 1.0}}
+    features = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    labels = rng.integers(0, 2, size=(B,))
+    sched = warmup_cosine(0.1, total_steps=steps, warmup_steps=3)
+    WD = 0.01
+
+    def loss_fn(p):
+        logits = (features @ p["encoder"]["kernel"]) @ p["head"]["kernel"] + p["head"]["bias"]
+        return _loss_from_logits(logits, jnp.asarray(labels), jnp.ones((B,), bool),
+                                 "binary_bce", 1.0, (1.0, 1.0))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    state = optim.lars_init(params)
+    jax_losses = []
+    p = params
+    for step in range(steps):
+        loss, grads = grad_fn(p)
+        p, state = optim.lars_update(
+            p, grads, state, lr=sched(step), weight_decay=WD, lr_scale=lr_scale,
+        )
+        jax_losses.append(float(loss))
+
+    # torch side
+    te = torch.tensor(np.asarray(params["encoder"]["kernel"]), requires_grad=True)
+    tk = torch.tensor(np.asarray(params["head"]["kernel"]), requires_grad=True)
+    tb = torch.tensor(np.asarray(params["head"]["bias"]), requires_grad=True)
+    tensors = [te, tk, tb]
+    scales = [0.0, 1.0, 1.0]
+    bufs = [torch.zeros_like(t) for t in tensors]
+    tf = torch.tensor(np.asarray(features))
+    tl = torch.tensor(labels.astype(np.float32))
+    torch_losses = []
+    for step in range(steps):
+        for t in tensors:
+            if t.grad is not None:
+                t.grad = None
+        logits = (tf @ te) @ tk + tb
+        loss = F.binary_cross_entropy_with_logits(logits[:, 1] - logits[:, 0], tl)
+        loss.backward()
+        _torch_lars_step(tensors, sched(step), weight_decay=WD,
+                         momentum_buf=bufs, lr_scales=scales)
+        torch_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p["head"]["kernel"]), tk.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p["head"]["bias"]), tb.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    # frozen leaf never moved (momentum accumulates but lr_scale gates the step)
+    np.testing.assert_array_equal(np.asarray(p["encoder"]["kernel"]),
+                                  np.asarray(params["encoder"]["kernel"]))
+
+
+def test_layer_decay_trajectory_matches_torch():
+    """Layer-wise lr-decay parity: our single AdamW with the
+    ``layerwise_lr_decay_scales`` tree (MAE fine-tune stack,
+    ``mae_finetune.py::run_mae_finetune``; upstream ``util/lr_decay.py::
+    param_groups_lrd``) matches torch AdamW with one param group per
+    (layer-scale, weight-decay) pair, lr set to ``sched(step) * scale``
+    each step — the reference's param-group mechanics."""
+    DECAY = 0.75
+    params = init_vit(jax.random.PRNGKey(1), CFG)
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params)
+    depth = CFG.depth
+    batches = _batches(np.random.default_rng(11), N_STEPS)
+    sched = warmup_cosine(BASE_LR, total_steps=N_STEPS, warmup_steps=WARMUP)
+
+    lr_tree = optim.layerwise_lr_decay_scales(params, depth, DECAY)
+    wd_tree = optim.no_weight_decay_scales(params)
+
+    # --- torch side: per-block tensors so each block gets its own group --
+    def _leaf_scale(path, i=None):
+        if path[0] == "head" or path[0] == "norm":
+            return 1.0
+        if path[0] == "blocks":
+            return DECAY ** (depth - i)
+        return DECAY ** (depth + 1)
+
+    flat_wd = dict(_flatten(wd_tree))
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    tensors = {}  # (path, block_idx|None) -> torch tensor
+    for path, leaf in _flatten(np_params):
+        if path[0] == "blocks":
+            for i in range(depth):
+                tensors[(path, i)] = torch.tensor(leaf[i]).requires_grad_(True)
+        else:
+            tensors[(path, None)] = torch.tensor(leaf).requires_grad_(True)
+
+    groups = {}  # (scale, wd) -> params list
+    for (path, i), t in tensors.items():
+        key = (_leaf_scale(path, i), WEIGHT_DECAY if flat_wd[path] == 1.0 else 0.0)
+        groups.setdefault(key, []).append(t)
+    opt = torch.optim.AdamW(
+        [{"params": ps, "weight_decay": wd, "lr": BASE_LR, "ld_scale": scale}
+         for (scale, wd), ps in groups.items()],
+        betas=(0.9, 0.999), eps=1e-8,
+    )
+
+    def _nest(pairs):
+        out = {}
+        for path, value in pairs:
+            node = out
+            for key in path[:-1]:
+                node = node.setdefault(key, {})
+            node[path[-1]] = value
+        return out
+
+    def _torch_params():
+        stacked = {}
+        for (path, i), t in tensors.items():
+            stacked.setdefault(path, {})[i] = t
+        pairs = []
+        for path, by_idx in stacked.items():
+            if None in by_idx:
+                pairs.append((path, by_idx[None]))
+            else:
+                pairs.append((path, torch.stack([by_idx[i] for i in range(depth)])))
+        return _nest(pairs)
+
+    torch_losses = []
+    for step, (images, labels) in enumerate(batches):
+        for group in opt.param_groups:
+            group["lr"] = sched(step) * group["ld_scale"]
+        opt.zero_grad()
+        logits = _torch_forward(_torch_params(), torch.tensor(images), CFG)
+        loss = _torch_loss(logits, torch.tensor(labels))
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+
+    # --- jax side: the framework's fine-tune step stack ------------------
+    valid = jnp.ones((4,), dtype=bool)
+
+    def loss_fn(p, images, labels):
+        logits = vit_forward(p, images, CFG)
+        return _loss_from_logits(logits, labels, valid, "binary_bce",
+                                 POS_WEIGHT, (1.0, 1.0))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    state = optim.adamw_init(params)
+    jax_losses = []
+    p = params
+    for step, (images, labels) in enumerate(batches):
+        loss, grads = grad_fn(p, jnp.asarray(images), jnp.asarray(labels))
+        p, state = optim.adamw_update(
+            p, grads, state, lr=sched(step),
+            weight_decay=WEIGHT_DECAY, lr_scale=lr_tree, wd_scale=wd_tree,
+        )
+        jax_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-4, atol=2e-5)
+
+    D = CFG.embed_dim
+    final_torch = dict(_flatten(jax.tree_util.tree_map(
+        lambda t: t, _torch_params())))
+    worst = 0.0
+    for path, leaf in _flatten(p):
+        got = np.asarray(leaf)
+        want = final_torch[path].detach().numpy()
+        if path == ("blocks", "attn", "qkv", "bias"):
+            got = np.concatenate([got[..., :D], got[..., 2 * D:]], axis=-1)
+            want = np.concatenate([want[..., :D], want[..., 2 * D:]], axis=-1)
+        denom = max(1e-3, float(np.abs(want).max()))
+        worst = max(worst, float(np.abs(got - want).max()) / denom)
+    assert worst < 5e-4, f"layer-decay trajectories diverged: rel {worst:.2e}"
