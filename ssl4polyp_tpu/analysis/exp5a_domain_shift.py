@@ -75,17 +75,12 @@ def _one_metric(metric: str, probs: np.ndarray, labels: np.ndarray,
     return metric_from_frames(metric, probs, labels, tau)
 
 
-def _resolve_relative(metrics_path: Path, entry: str) -> Optional[Path]:
-    """Resolve a provenance-relative path against the run file's ancestors
-    (the engine writes parent paths relative to the run layout's base dir,
-    which is some ancestor of the metrics file — reference
-    ``_resolve_relative_path``, ``exp5a_report.py:496-520``)."""
-    candidates = _resolve_relative_all(metrics_path, entry)
-    return candidates[0] if candidates else None
-
-
 def _resolve_relative_all(metrics_path: Path, entry: str) -> List[Path]:
-    """All existing ancestor resolutions (closest first)."""
+    """All existing ancestor resolutions of a provenance-relative path,
+    closest first (the engine writes parent paths relative to the run
+    layout's base dir, which is some ancestor of the metrics file —
+    reference ``_resolve_relative_path``, ``exp5a_report.py:496-520``).
+    Callers digest-verify the candidates rather than trusting the first."""
     candidate = Path(entry)
     if candidate.is_absolute():
         return [candidate] if candidate.exists() else []
@@ -525,29 +520,43 @@ def domain_shift_section(run_set: RunSet, output_dir: Path) -> List[str]:
                     + 29 * PAIRWISE_METRICS.index(metric)
                     + 31 * sorted(views).index(baseline)
                 )
-                # Shared centre coverage per seed (invariant across
-                # replicates — hoisted out of the resample loop).
-                shared_by_seed = {
-                    s: [
-                        c for c in centers
-                        if c in base_runs[s].centers and c in cont_runs[s].centers
-                    ]
-                    for s in seeds
-                }
+                # Centre pairing per seed (invariant across replicates —
+                # hoisted out of the resample loop).  Shared centres are
+                # drawn ONCE and mapped into each run's own index arrays;
+                # centres exclusive to one run are resampled independently,
+                # so each replicate covers each run's FULL centre population
+                # and the CI describes the same statistic as the full-sample
+                # point delta above, even under coverage skew.
+                pairing_by_seed = {}
+                for s in seeds:
+                    base_ids = set(base_runs[s].centers)
+                    cont_ids = set(cont_runs[s].centers)
+                    pairing_by_seed[s] = (
+                        sorted(base_ids & cont_ids),
+                        sorted(base_ids - cont_ids),
+                        sorted(cont_ids - base_ids),
+                    )
                 for _ in range(n_resamples):
                     vals = []
                     for s in seeds:
-                        # Draw centre ids ONCE over the pair's shared
-                        # coverage, then map the same drawn multiset into
-                        # each run's own index arrays (paired regardless
-                        # of row order or coverage skew — advisor finding).
-                        shared = shared_by_seed[s]
-                        if not shared:
+                        shared, excl_b, excl_c = pairing_by_seed[s]
+                        ids_b: List[str] = []
+                        ids_c: List[str] = []
+                        if shared:
+                            draw = rng.integers(0, len(shared), size=len(shared))
+                            drawn = [shared[int(d)] for d in draw]
+                            ids_b += drawn
+                            ids_c += drawn
+                        if excl_b:
+                            draw = rng.integers(0, len(excl_b), size=len(excl_b))
+                            ids_b += [excl_b[int(d)] for d in draw]
+                        if excl_c:
+                            draw = rng.integers(0, len(excl_c), size=len(excl_c))
+                            ids_c += [excl_c[int(d)] for d in draw]
+                        if not ids_b or not ids_c:
                             continue
-                        draw = rng.integers(0, len(shared), size=len(shared))
-                        drawn = [shared[int(d)] for d in draw]
-                        idx = base_runs[s].indices_for_centers(drawn)
-                        idx_c = cont_runs[s].indices_for_centers(drawn)
+                        idx = base_runs[s].indices_for_centers(ids_b)
+                        idx_c = cont_runs[s].indices_for_centers(ids_c)
                         delta = (
                             cont_runs[s].polyp_metric(metric, idx_c)
                             - base_runs[s].polyp_metric(metric, idx)

@@ -26,16 +26,19 @@ def _model_of(run: CommonRun) -> Optional[str]:
     return run.model
 
 
+def _x_token(value: float) -> str:
+    """Compact x-axis token: integral values keep the p10/p25 form, while
+    fractional ones stay distinct (int() would collapse 12.5 → 12 and
+    0.5 → 0, corrupting condition identity and curve labels)."""
+    value = float(value)
+    return str(int(value)) if value == int(value) else repr(value)
+
+
 def _subset_condition(run: CommonRun) -> Optional[str]:
     provenance = run.payload.get("provenance") or {}
     percent = provenance.get("subset_percent", 100)
     model = run.model or "model"
-    # Preserve fractional percents (int() would collapse 12.5 → 12 and
-    # 0.5 → 0, corrupting condition identity and the learning-curve
-    # x-axis); integral values keep the compact p10/p25 form.
-    value = float(percent)
-    token = str(int(value)) if value == int(value) else repr(value)
-    return f"{model}@p{token}"
+    return f"{model}@p{_x_token(percent)}"
 
 
 def _fewshot_condition(run: CommonRun) -> Optional[str]:
@@ -226,9 +229,20 @@ def _strata_policy_section(run_set: RunSet) -> List[str]:
         seeds = sorted(set(base_runs) & set(cont_runs))
         if not seeds:
             continue
-        shared_cases = {
-            s: sorted(set(base_runs[s].cases) & set(cont_runs[s].cases)) for s in seeds
-        }
+        # Shared cases are drawn ONCE per replicate and mapped into each
+        # run's own index arrays (paired); cases exclusive to one run are
+        # resampled independently so each replicate covers each run's FULL
+        # case population — the bootstrap then estimates the same statistic
+        # as the full-sample point delta even under coverage skew.
+        case_pairing = {}
+        for s in seeds:
+            base_ids = set(base_runs[s].cases)
+            cont_ids = set(cont_runs[s].cases)
+            case_pairing[s] = (
+                sorted(base_ids & cont_ids),
+                sorted(base_ids - cont_ids),
+                sorted(cont_ids - base_ids),
+            )
         for policy in policy_order:
             for stratum in EXP3_STRATA:
                 for metric in ("auroc", "f1"):
@@ -242,18 +256,25 @@ def _strata_policy_section(run_set: RunSet) -> List[str]:
                     for _ in range(n_resamples):
                         vals = []
                         for s in seeds:
-                            ids = shared_cases[s]
-                            if not ids:
-                                continue
-                            # Draw case ids ONCE, then map the same drawn
-                            # multiset into each run's own per-case index
-                            # arrays — pairing is then independent of CSV
-                            # row order and stays paired when the two runs'
-                            # case coverage differs (advisor finding).
-                            draw = rng_root.integers(0, len(ids), size=len(ids))
-                            drawn = [ids[int(d)] for d in draw]
-                            idx_b = base_runs[s].indices_for(drawn)
-                            idx_c = cont_runs[s].indices_for(drawn)
+                            shared, excl_b, excl_c = case_pairing[s]
+                            ids_b: List[str] = []
+                            ids_c: List[str] = []
+                            if shared:
+                                draw = rng_root.integers(
+                                    0, len(shared), size=len(shared))
+                                drawn = [shared[int(d)] for d in draw]
+                                ids_b += drawn
+                                ids_c += drawn
+                            if excl_b:
+                                draw = rng_root.integers(
+                                    0, len(excl_b), size=len(excl_b))
+                                ids_b += [excl_b[int(d)] for d in draw]
+                            if excl_c:
+                                draw = rng_root.integers(
+                                    0, len(excl_c), size=len(excl_c))
+                                ids_c += [excl_c[int(d)] for d in draw]
+                            idx_b = base_runs[s].indices_for(ids_b)
+                            idx_c = cont_runs[s].indices_for(ids_c)
                             vals.append(
                                 cont_runs[s].metric(metric, stratum, policy, idx_c)
                                 - base_runs[s].metric(metric, stratum, policy, idx_b)
@@ -407,7 +428,7 @@ def _learning_curve_section(run_set: RunSet) -> List[str]:
         result,
         title="Learning curves (test AUROC by train-subset percent)",
         x_label="percent",
-        x_format=lambda x: f"p{int(x)}",
+        x_format=lambda x: f"p{_x_token(x)}",
     )
 
 
@@ -621,7 +642,7 @@ def _zero_shot_section(run_set: RunSet) -> List[str]:
             result,
             title="Few-shot curves (test AUROC by budget; s0 = zero-shot anchor)",
             x_label="budget",
-            x_format=lambda x: f"s{int(x)}",
+            x_format=lambda x: f"s{_x_token(x)}",
         )
 
     # Declared-anchor summary (kept for runs without zero-shot frames).

@@ -136,11 +136,6 @@ class FrameSample:
         chosen = rng.integers(0, n, size=n)
         return np.concatenate([np.asarray(self.clusters[c], dtype=int) for c in chosen])
 
-    def indices_for_keys(self, keys: Sequence[str]) -> np.ndarray:
-        """Frame indices for an already-drawn cluster-key multiset."""
-        lookup = {k: g for k, g in zip(self.cluster_keys, self.clusters)}
-        return np.concatenate([np.asarray(lookup[k], dtype=int) for k in keys])
-
     def metric(self, metric: str, idx: Optional[np.ndarray] = None) -> float:
         if idx is None:
             return metric_from_frames(metric, self.probs, self.labels, self.tau)
@@ -211,32 +206,49 @@ class FrameBootstrapper:
             for s in seeds
         }
         rng = self._rng()
-        # Per-seed pairing tables, hoisted out of the replicate loop: the
-        # shared key list plus each run's key-aligned index groups, so a
-        # replicate is one integer draw + two fancy-index concatenations
-        # (draw keys ONCE, map the same multiset into each run's own
-        # groups — paired regardless of row order or coverage skew).
+        # Per-seed pairing tables, hoisted out of the replicate loop.  Each
+        # replicate resamples each run's FULL cluster population — so the
+        # bootstrap distribution estimates the same statistic as the
+        # full-sample point delta above — while maximising pairing: shared
+        # cluster keys are drawn ONCE and mapped into each run's own index
+        # groups; clusters exclusive to one run are resampled independently
+        # (their count per run), degrading gracefully to an independent draw
+        # when the key sets are disjoint.  No seed is ever dropped.
         pairing = {}
         for s in seeds:
             fa, fb = sample_a[s], sample_b[s]
             keys_b = set(fb.cluster_keys)
+            keys_a = set(fa.cluster_keys)
             shared = [k for k in fa.cluster_keys if k in keys_b]
             lookup_a = dict(zip(fa.cluster_keys, fa.clusters))
             lookup_b = dict(zip(fb.cluster_keys, fb.clusters))
             groups_a = [np.asarray(lookup_a[k], dtype=int) for k in shared]
             groups_b = [np.asarray(lookup_b[k], dtype=int) for k in shared]
-            pairing[s] = (shared, groups_a, groups_b)
+            excl_a = [np.asarray(lookup_a[k], dtype=int)
+                      for k in fa.cluster_keys if k not in keys_b]
+            excl_b = [np.asarray(lookup_b[k], dtype=int)
+                      for k in fb.cluster_keys if k not in keys_a]
+            pairing[s] = (shared, groups_a, groups_b, excl_a, excl_b)
         draws: List[float] = []
         for _ in range(self.n_resamples):
             deltas = []
             for s in seeds:
                 fa, fb = sample_a[s], sample_b[s]
-                shared, groups_a, groups_b = pairing[s]
-                if not shared:
-                    continue
-                draw = rng.integers(0, len(shared), size=len(shared))
-                idx_a = np.concatenate([groups_a[int(d)] for d in draw])
-                idx_b = np.concatenate([groups_b[int(d)] for d in draw])
+                shared, groups_a, groups_b, excl_a, excl_b = pairing[s]
+                parts_a: List[np.ndarray] = []
+                parts_b: List[np.ndarray] = []
+                if shared:
+                    draw = rng.integers(0, len(shared), size=len(shared))
+                    parts_a += [groups_a[int(d)] for d in draw]
+                    parts_b += [groups_b[int(d)] for d in draw]
+                if excl_a:
+                    draw_a = rng.integers(0, len(excl_a), size=len(excl_a))
+                    parts_a += [excl_a[int(d)] for d in draw_a]
+                if excl_b:
+                    draw_b = rng.integers(0, len(excl_b), size=len(excl_b))
+                    parts_b += [excl_b[int(d)] for d in draw_b]
+                idx_a = np.concatenate(parts_a)
+                idx_b = np.concatenate(parts_b)
                 deltas.append(fb.metric(metric, idx_b) - fa.metric(metric, idx_a))
             if deltas:
                 draws.append(float(np.nanmean(deltas)))
@@ -342,12 +354,22 @@ def bootstrap_curves(
             shared = [k for k in key_lists[0] if all(k in r for r in rest)]
             if not shared:
                 continue
+            shared_set = set(shared)
             groups = {}
+            excl: Dict[str, list] = {}
             for n in present:
                 fs = data[n][x][s]
                 lookup = dict(zip(fs.cluster_keys, fs.clusters))
                 groups[n] = [np.asarray(lookup[k], dtype=int) for k in shared]
-            pair_tables[(x, s)] = (len(shared), groups)
+                # Clusters exclusive to this series are resampled
+                # independently each replicate so the replicate metric is
+                # over the series' FULL population (matching the point
+                # estimate) even under coverage skew.
+                excl[n] = [
+                    np.asarray(lookup[k], dtype=int)
+                    for k in fs.cluster_keys if k not in shared_set
+                ]
+            pair_tables[(x, s)] = (len(shared), groups, excl)
 
     draw_values: Dict[str, Dict[float, List[float]]] = {
         name: {x: [] for x in xs} for name in series_names
@@ -356,7 +378,7 @@ def bootstrap_curves(
     for _ in range(n_resamples):
         shared_draws: Dict[Tuple[float, int], np.ndarray] = {
             key: rng.integers(0, n_keys, size=n_keys)
-            for key, (n_keys, _) in pair_tables.items()
+            for key, (n_keys, _, _) in pair_tables.items()
         }
         for name in series_names:
             curve = []
@@ -369,10 +391,14 @@ def bootstrap_curves(
                 for s, fs in sorted(per_seed.items()):
                     table = pair_tables.get((x, s))
                     if table is not None and name in table[1]:
-                        groups = table[1][name]
                         draw = shared_draws[(x, s)]
-                        idx = np.concatenate([groups[int(d)] for d in draw])
-                        vals.append(fs.metric(metric, idx))
+                        groups = table[1][name]
+                        parts = [groups[int(d)] for d in draw]
+                        excl = table[2][name]
+                        if excl:
+                            draw_e = rng.integers(0, len(excl), size=len(excl))
+                            parts += [excl[int(d)] for d in draw_e]
+                        vals.append(fs.metric(metric, np.concatenate(parts)))
                     else:
                         vals.append(fs.metric(metric, fs.resample(rng)))
                 value = float(np.nanmean(vals))

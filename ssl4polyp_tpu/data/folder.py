@@ -205,33 +205,44 @@ class PretrainLoader:
         from ssl4polyp_tpu.native import decode_crop_resize_batch_status
 
         n = len(chunk)
-        crops = np.empty((n, 4), dtype=np.float64)
-        flips = np.empty((n,), dtype=np.uint8)
-        paths = []
-        pil_fallback = []
+        # Frames with no JPEG header (PNG/BMP/…) go straight to PIL — sending
+        # them through the native decoder would be a doomed decode attempt
+        # per frame per epoch before the PIL retry overwrote the result.
+        native_pos: List[int] = []
+        pil_fallback: List[int] = []
+        crops_list: List[tuple] = []
+        flips_list: List[bool] = []
+        paths: List[str] = []
         for j, position in enumerate(chunk):
             dims = self._dims(position)
             if dims is None:  # non-JPEG or unreadable header
                 pil_fallback.append(j)
-                crops[j] = (0.0, 0.0, 1.0, 1.0)
-                flips[j] = 0
-                paths.append(self.index.paths[position])
                 continue
             width, height = dims
             rng = self._rng(position)
             y0, x0, h, w = sample_crop_box(width, height, rng)
-            crops[j] = (y0 / height, x0 / width, h / height, w / width)
-            flips[j] = rng.random() < 0.5
+            crops_list.append((y0 / height, x0 / width, h / height, w / width))
+            flips_list.append(rng.random() < 0.5)
             paths.append(self.index.paths[position])
+            native_pos.append(j)
+        if not native_pos:
+            return None  # whole batch is non-JPEG: plain PIL path
         result = decode_crop_resize_batch_status(
-            paths, self.image_size, self.image_size, crops, flips,
+            paths, self.image_size, self.image_size,
+            np.asarray(crops_list, dtype=np.float64),
+            np.asarray(flips_list, dtype=np.uint8),
             n_threads=self.num_workers,
         )
         if result is None:
             return None
-        images, ok = result
-        retry = sorted(set(pil_fallback) | set(np.nonzero(~ok)[0].tolist()))
-        for j in retry:
+        sub_images, ok = result
+        images = np.empty((n, self.image_size, self.image_size, 3), dtype=np.uint8)
+        for k, j in enumerate(native_pos):
+            images[j] = sub_images[k]
+        retry = pil_fallback + [
+            native_pos[k] for k in np.nonzero(~ok)[0].tolist()
+        ]
+        for j in sorted(retry):
             images[j] = self._decode(chunk[j])
         return images
 

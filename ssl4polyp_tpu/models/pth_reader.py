@@ -244,6 +244,15 @@ class _RestrictedUnpickler(pickle.Unpickler):
         if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
             raise TorchUnpickleError(f"unsupported persistent id {pid!r}")
         _, storage_type, key, _location, numel = pid[:5]
+        if len(pid) > 5 and pid[5] is not None:
+            # Legacy (pre-torch-0.4) view metadata: the tensor aliases a
+            # sub-range of the root storage.  Resolving it against the root
+            # with view-relative offsets would silently load wrong values —
+            # refuse instead, so load_torch_state_dict falls back to torch.
+            raise TorchUnpickleError(
+                f"legacy storage view metadata {pid[5]!r} is unsupported — "
+                f"refusing to load (torch-free .pth reader)"
+            )
         if isinstance(storage_type, _Dtype):
             dtype = storage_type.numpy()
         elif isinstance(storage_type, str) and storage_type in _STORAGE_DTYPES:

@@ -275,12 +275,12 @@ int decode_crop_resize(const char* path, uint8_t* out, int out_h, int out_w,
   if (sh > src_h) sh = src_h;
   if (sw > src_w) sw = src_w;
 
-  // The cubic filter reads up to 2*scale past the box; decode a safety
-  // margin around the crop rows and skip the rest of the IDCT work.
-  const float y_scale = static_cast<float>(sh) / out_h;
-  const int margin = static_cast<int>(2.0f * (y_scale < 1.0f ? 1.0f : y_scale)) + 2;
-  int row0 = sy - margin < 0 ? 0 : sy - margin;
-  int row1 = sy + sh + margin > src_h ? src_h : sy + sh + margin;
+  // The resampler's taps clamp to the crop box (ResampleAxis::init, matching
+  // PIL's crop-then-resize convention), so scanlines outside [sy, sy+sh) are
+  // never read — decode exactly the crop rows and skip the rest of the IDCT
+  // work.
+  int row0 = sy;
+  int row1 = sy + sh;
 
 // jpeg_skip_scanlines is a libjpeg-TURBO extension (present whatever
 // JPEG_LIB_VERSION emulation level turbo is built with, absent from stock

@@ -833,20 +833,27 @@ def test_frame_bootstrap_pairing_survives_row_reorder():
     assert delta.mean == 0.0
     assert all(abs(s) < 1e-12 for s in delta.samples)
 
-    # partial coverage: pairing restricted to the shared clusters, not
-    # silently independent
+    # partial coverage: replicates must estimate the SAME statistic as the
+    # full-sample point delta (shared clusters drawn once/paired, each run's
+    # exclusive clusters resampled independently over its full population),
+    # so the CI brackets its own point estimate instead of describing a
+    # shared-subset delta the point never measures (review finding, round 4)
     half_idx = [i for i in range(n) if int(cases[i][1:]) < 10]
-    samples_partial = {
-        "a": {13: FrameSample.build(probs, labels, cases, 0.5)},
-        "b": {13: FrameSample.build(probs[half_idx], labels[half_idx],
-                                    [cases[i] for i in half_idx], 0.5)},
-    }
+    fa_full = FrameSample.build(probs, labels, cases, 0.5)
+    fb_half = FrameSample.build(probs[half_idx], labels[half_idx],
+                                [cases[i] for i in half_idx], 0.5)
+    samples_partial = {"a": {13: fa_full}, "b": {13: fb_half}}
     delta_partial = FrameBootstrapper(samples_partial, n_resamples=200).paired_delta(
         "a", "b"
     )
-    # shared clusters carry identical probs => paired deltas stay ~0 even
-    # though run a has clusters run b lacks
-    assert all(abs(s) < 1e-12 for s in delta_partial.samples)
+    # point estimate is the full-population delta...
+    expected_point = fb_half.metric("auroc") - fa_full.metric("auroc")
+    assert delta_partial.mean == pytest.approx(expected_point, abs=1e-12)
+    # ...and the bootstrap CI must bracket it (the old shared-only draws
+    # produced a ~0-width CI excluding this nonzero point)
+    assert delta_partial.ci_lower <= expected_point <= delta_partial.ci_upper
+    # every seed contributes to every replicate — none silently dropped
+    assert len(delta_partial.samples) == 200
 
 
 def test_bootstrap_curves_deltas_are_paired():

@@ -108,6 +108,23 @@ def test_rejects_arbitrary_globals(tmp_path):
         read_pth(path)
 
 
+def test_rejects_legacy_view_metadata():
+    """Pre-torch-0.4 persistent ids can carry view metadata (pid[5]); mapping
+    the view onto the ROOT storage would silently load wrong values, so the
+    reader must refuse (falling back to torch.load) rather than guess."""
+    import io
+
+    from ssl4polyp_tpu.models.pth_reader import _RestrictedUnpickler
+
+    up = _RestrictedUnpickler(io.BytesIO(b""), lambda key, dtype, numel: None)
+    with pytest.raises(TorchUnpickleError):
+        up.persistent_load(
+            ("storage", "FloatStorage", "0", "cpu", 10, ("view", 2, 4))
+        )
+    # the modern writer's explicit None view metadata stays accepted
+    up.persistent_load(("storage", "FloatStorage", "0", "cpu", 10, None))
+
+
 def test_mae_checkpoint_import_torch_free(tmp_path):
     """End-to-end: a reference-layout MAE encoder checkpoint written by
     torch loads through load_torch_state_dict + mae_params_from_torch with
