@@ -162,3 +162,76 @@ def test_pretrain_loader_native_matches_pil(tmp_path):
         # a wrong flip or crop box drives corr toward 0; resample aliasing
         # on noise images costs at most a point or two
         assert corr > 0.95, corr
+
+
+def test_pretrain_loader_mixed_formats(tmp_path):
+    """PNG frames inside an otherwise-JPEG corpus are routed straight to
+    PIL (never through the native decoder) while keeping batch row order:
+    PNG rows must be BIT-identical between the native and PIL paths (both
+    decode via _decode with the same per-position rng), and JPEG rows stay
+    aligned (correlation check as in the all-JPEG test)."""
+    from PIL import Image
+
+    from ssl4polyp_tpu.data.folder import ImageFolderIndex, PretrainLoader
+
+    rng = np.random.default_rng(11)
+    png_names = set()
+    for i in range(8):
+        low = rng.integers(0, 255, (16, 20, 3), dtype=np.uint8)
+        img = Image.fromarray(low).resize((320, 260), Image.BILINEAR)
+        if i % 3 == 1:  # files 1,4,7 are PNG
+            img.save(tmp_path / f"f{i}.png")
+            png_names.add(f"f{i}.png")
+        else:
+            img.save(tmp_path / f"f{i}.jpg", quality=92)
+    index = ImageFolderIndex(tmp_path, no_train_dir=True)
+    # Output row r holds index position order[r] (the loader's (seed,
+    # epoch)-keyed permutation, identical across both collects below).
+    order = np.random.default_rng(7 + 1).permutation(len(index))
+    png_rows = [
+        r for r, pos in enumerate(order)
+        if index.paths[pos].rsplit("/", 1)[-1] in png_names
+    ]
+    assert png_rows, "fixture must include PNG frames"
+
+    def collect(use_native):
+        loader = PretrainLoader(
+            index, 4, image_size=64, seed=7, num_workers=2,
+            use_native=use_native,
+        )
+        loader.set_epoch(1)
+        return np.concatenate(list(loader))
+
+    pil = collect(False)
+    nat = collect(True)
+    assert pil.shape == nat.shape
+    for i in png_rows:
+        np.testing.assert_array_equal(pil[i], nat[i])
+    for i in range(pil.shape[0]):
+        a = pil[i].reshape(-1).astype(np.float32)
+        b = nat[i].reshape(-1).astype(np.float32)
+        assert np.corrcoef(a, b)[0, 1] > 0.95
+
+
+def test_pretrain_loader_all_png_batch(tmp_path):
+    """A batch with zero JPEG frames returns through the plain PIL path
+    (native _native_batch yields None) and matches the PIL loader exactly."""
+    from PIL import Image
+
+    from ssl4polyp_tpu.data.folder import ImageFolderIndex, PretrainLoader
+
+    rng = np.random.default_rng(13)
+    for i in range(4):
+        arr = rng.integers(0, 255, (130, 170, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"p{i}.png")
+    index = ImageFolderIndex(tmp_path, no_train_dir=True)
+
+    def collect(use_native):
+        loader = PretrainLoader(
+            index, 4, image_size=48, seed=9, num_workers=2,
+            use_native=use_native,
+        )
+        loader.set_epoch(0)
+        return np.concatenate(list(loader))
+
+    np.testing.assert_array_equal(collect(False), collect(True))
