@@ -110,3 +110,87 @@ def test_engines_initialize_multihost():
     assert "initialize_multihost" in inspect.getsource(pretrain.cli_main)
     assert "initialize_multihost" in inspect.getsource(eval_classification.cli_main)
     assert "initialize_multihost" in inspect.getsource(hyperkvasir.main)
+
+
+_TWO_PROC_SCRIPT = r"""
+import json, os, sys
+
+import numpy as np
+
+# Env (JAX_PLATFORMS / XLA_FLAGS / JAX_* coordinates) is set by the parent
+# BEFORE interpreter start so the backend and the distributed runtime both
+# pick it up; initialize_multihost() must discover everything from env.
+from ssl4polyp_tpu.parallel.multihost import (
+    initialize_multihost, is_primary, process_info,
+)
+
+initialize_multihost()
+info = process_info()
+pid = info["process_index"]
+assert info["process_count"] == 2, info
+assert info["global_devices"] == 2 * info["local_devices"], info
+assert is_primary() == (pid == 0), (pid, is_primary())
+
+# The evaluate.py gather contract (evaluation/evaluate.py:205-220): each
+# process holds a disjoint loader stripe padded to a fixed shape with
+# valid=False rows; after process_allgather + valid-filter every process
+# must hold the identical full frame set.
+from jax.experimental import multihost_utils
+
+stripe = np.arange(pid * 3, pid * 3 + 3, dtype=np.int32)      # positions
+logits = stripe.astype(np.float32) * 0.5
+valid = np.array([True, True, pid == 0])                      # pad on pid 1
+logits, stripe, valid = (
+    np.reshape(multihost_utils.process_allgather(a), (-1, *a.shape[1:]))
+    for a in (logits, stripe, valid)
+)
+kept = stripe[valid]
+kept_logits = logits[valid]
+assert sorted(kept.tolist()) == [0, 1, 2, 3, 4], kept
+assert np.allclose(kept_logits, kept * 0.5), (kept_logits, kept)
+print(json.dumps({"pid": pid, "primary": is_primary(),
+                  "frames": sorted(kept.tolist())}))
+"""
+
+
+def test_two_process_gather_contract(tmp_path):
+    """Spawn two REAL processes over the Gloo CPU backend: env-driven
+    initialize_multihost, primary gating, and the padded-stripe
+    process_allgather round trip used by the eval engine."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    script = tmp_path / "worker.py"
+    script.write_text(_TWO_PROC_SCRIPT)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = dict(
+            **{k: v for k, v in __import__("os").environ.items()
+               if not k.startswith(("JAX_", "XLA_"))},
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        repo_root = __import__("pathlib").Path(__file__).resolve().parents[1]
+        env["PYTHONPATH"] = str(repo_root)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env, cwd=repo_root,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    assert {o["pid"] for o in outs} == {0, 1}
+    for o in outs:
+        assert o["primary"] == (o["pid"] == 0)
+        assert o["frames"] == [0, 1, 2, 3, 4]
