@@ -119,6 +119,64 @@ def main():
            jax.jit(jax.grad(shell_loss)), shell_params, images,
            jax.random.PRNGKey(1))
 
+    # --- fine-tune components (classification step: full 197-token
+    # encoder padded to 200, flattened 2-D stream + fc1 kernel — the
+    # production engine defaults; see factory.py pad_tokens_to).  Subtract
+    # 12× the per-block cost from the finetune shell + blocks to localise
+    # where the 1178 img/s step diverges from the MAE budget. ---
+    from ssl4polyp_tpu.models.factory import get_imagenet_or_random_vit
+
+    x_ft = jnp.asarray(np.random.randn(BATCH, 200, 768), dtype=jnp.bfloat16)
+
+    def ft_block_probe(name, pallas):
+        def loss(b, x):
+            b = layers.cast_params_for_compute(b, jnp.bfloat16)
+            y = layers.run_blocks(
+                x, b, 12, use_pallas=pallas, unroll=True,
+                softmax_f32=False, valid_len=197 if pallas else None,
+            )
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        timeit(name, jax.jit(jax.grad(loss)), enc_blocks, x_ft)
+
+    ft_block_probe("finetune vit blocks fwd+bwd @200 [pallas]", True)
+    ft_block_probe("finetune vit blocks fwd+bwd @200 [xla]", False)
+
+    classifier = get_imagenet_or_random_vit(
+        jax.random.PRNGKey(2), None, num_classes=2, depth=1,
+        unroll_blocks=True, use_pallas_attention=True,
+    )
+    labels = jnp.asarray(np.random.randint(0, 2, (BATCH,)), dtype=jnp.int32)
+
+    def ft_shell_loss(p, images_u8, y):
+        imgs = normalize_batch(images_u8, dtype=classifier.cfg.compute_dtype)
+        logits = classifier.apply(
+            layers.cast_params_for_compute(p, classifier.cfg.compute_dtype),
+            imgs,
+        ).astype(jnp.float32)
+        one_hot = jax.nn.one_hot(y, 2)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot, -1))
+
+    timeit("finetune shell (embed+pool+head+loss+1blk)",
+           jax.jit(jax.grad(ft_shell_loss)), classifier.params, images, labels)
+
+    full_classifier = get_imagenet_or_random_vit(
+        jax.random.PRNGKey(3), None, num_classes=2)
+    ft_state = optim.adamw_init(full_classifier.params)
+    ft_ones = jax.tree_util.tree_map(lambda _: 1.0, full_classifier.params)
+    ft_wd = optim.no_weight_decay_scales(full_classifier.params)
+    ft_grads = jax.tree_util.tree_map(
+        lambda p: jnp.ones_like(p) * 1e-4, full_classifier.params)
+
+    @jax.jit
+    def ft_adamw(p, g, s):
+        return optim.adamw_update(p, g, s, lr=1e-3, b1=0.9, b2=0.999,
+                                  weight_decay=0.05, lr_scale=ft_ones,
+                                  wd_scale=ft_wd)
+
+    timeit("finetune adamw update (classifier tree)",
+           ft_adamw, full_classifier.params, ft_grads, ft_state)
+
 
 if __name__ == "__main__":
     main()
