@@ -270,6 +270,19 @@ def attention(
                     qkv = linear(x, p["qkv"]).reshape(B, N, 3 * D)
             else:
                 qkv = linear(x, p["qkv"]).reshape(B, N, 3 * D)
+            from ssl4polyp_tpu.ops.attn_proj import (
+                attn_proj_fold_enabled,
+                fused_attention_proj,
+            )
+
+            if attn_proj_fold_enabled():
+                # A/B candidate (BENCH_ATTN_PROJ=1): output projection folded
+                # into the attention kernel, core output VMEM-resident.
+                return fused_attention_proj(
+                    qkv, p["proj"]["kernel"].astype(qkv.dtype),
+                    p["proj"]["bias"].astype(qkv.dtype), num_heads, False,
+                    softmax_f32, valid_len,
+                ).reshape(B * N, D)
             out = fused_qkv_attention(qkv, num_heads, False, softmax_f32, valid_len)
             return linear(out.reshape(B * N, D), p["proj"])
 

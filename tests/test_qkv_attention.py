@@ -315,6 +315,72 @@ def test_ln_linear_kernel_parity():
                                        rtol=2e-4, atol=2e-4)
 
 
+def test_fused_attention_proj_parity():
+    """The attention+output-projection kernel matches the plain fused kernel
+    followed by dot+bias, for outputs and all three gradients, with and
+    without valid_len padding (BENCH_ATTN_PROJ A/B candidate)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.ops.attn_proj import fused_attention_proj
+    from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_attention
+
+    B, N, D, H = 4, 24, 32, 4
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * D), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (D, D), jnp.float32) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (D,), jnp.float32) * 0.05
+
+    def ref(qkv, w, b, vl=None):
+        out = fused_qkv_attention(qkv, H, True, True, vl)
+        return jnp.dot(out, w) + b
+
+    out_new = fused_attention_proj(qkv, w, b, H, True, True, None)
+    np.testing.assert_allclose(
+        np.asarray(out_new), np.asarray(ref(qkv, w, b)), atol=1e-5
+    )
+
+    loss_new = lambda q, w, b: (fused_attention_proj(q, w, b, H, True, True, None) ** 2).sum()
+    loss_ref = lambda q, w, b: (ref(q, w, b) ** 2).sum()
+    g_new = jax.grad(loss_new, argnums=(0, 1, 2))(qkv, w, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, w, b)
+    for a, c in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=2e-4)
+
+    # valid_len: padded keys masked; pad rows match the truncated call after
+    # the projection too, and dW/db see zero contributions from pad rows.
+    vl = 17
+    out_pad = fused_attention_proj(qkv, w, b, H, True, True, vl)
+    out_trunc = fused_attention_proj(qkv[:, :vl], w, b, H, True, True, None)
+    np.testing.assert_allclose(
+        np.asarray(out_pad[:, :vl]), np.asarray(out_trunc), atol=1e-5
+    )
+    mask = jnp.zeros((B, N, D)).at[:, :vl].set(1.0)
+    g_pad = jax.grad(
+        lambda q, w, b: ((fused_attention_proj(q, w, b, H, True, True, vl) * mask) ** 2).sum(),
+        argnums=(1, 2),
+    )(qkv, w, b)
+    g_trunc = jax.grad(
+        lambda q, w, b: (fused_attention_proj(q, w, b, H, True, True, None) ** 2).sum(),
+        argnums=(1, 2),
+    )(qkv[:, :vl], w, b)
+    for a, c in zip(g_pad, g_trunc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=2e-4)
+
+
+def test_attn_proj_fold_via_layers(monkeypatch):
+    """BENCH_ATTN_PROJ=1 routes layers.attention's flattened Pallas path
+    through the folded kernel; knob read is trace-time (env, not import)."""
+    from ssl4polyp_tpu.ops import attn_proj
+
+    monkeypatch.setenv("BENCH_ATTN_PROJ", "1")
+    assert attn_proj.attn_proj_fold_enabled()
+    monkeypatch.setenv("BENCH_ATTN_PROJ", "0")
+    assert not attn_proj.attn_proj_fold_enabled()
+
+
 def test_gelu_polynomial_accuracy():
     """The clip-tailed Chebyshev erf in ops/mlp.py stays within its stated
     error bounds over the whole real line (incl. far past the fit domain):
