@@ -37,6 +37,20 @@ from ssl4polyp_tpu.ops.qkv_attention import _batched_weights, _split_heads
 
 __all__ = ["fused_attention_proj", "attn_proj_fold_enabled"]
 
+# Test hook: force interpret mode regardless of the caller's flag, so the
+# layers.attention integration (which hardcodes interpret=False for the
+# production path) can run on the CPU mesh.  Read at trace time.
+_FORCE_INTERPRET = False
+
+# VMEM hard ceiling for the g=1 fallback (per-core VMEM is 16 MB; the
+# estimate below already includes pipeline double-buffering).  At the
+# production ViT-B shape (D=768, N=200, H=12, bf16) the backward g=1
+# working set estimates ~13-15 MB — above the 10 MB *selection* budget but
+# inside VMEM (measured compiling + running on v5e, PERF_NOTES round 4).
+# Shapes whose g=1 estimate exceeds this raise at trace time instead of
+# failing deep inside the Mosaic compiler.
+_VMEM_CEILING = 16 * 1024 * 1024
+
 
 def attn_proj_fold_enabled() -> bool:
     """A/B knob, read at trace time (bench sets it before import/trace)."""
@@ -140,33 +154,56 @@ def _bwd_kernel(qkv_ref, w_ref, dy_ref, dqkv_ref, dw_ref, db_ref, *,
         dqkv_ref[:, :, 2 * D + lo:2 * D + lo + head_dim] = dv[h].astype(cdtype)
 
 
-def _pick_rows(B: int, n: int, num_heads: int, D: int, itemsize: int, *,
-               backward: bool) -> int:
-    """Largest G whose VMEM working set fits (see qkv_attention budgeting):
-    double-buffered streamed io + resident W (+ fp32 grad accumulators in
-    bwd) + live fp32 scores + the VMEM-only core-output temporaries."""
+def _working_set(g: int, n: int, num_heads: int, D: int, itemsize: int, *,
+                 backward: bool) -> int:
+    """Estimated VMEM bytes for a g-row program (see qkv_attention
+    budgeting): double-buffered streamed io + resident W (+ fp32 grad
+    accumulators in bwd) + live fp32 scores + the VMEM-only core-output
+    temporaries."""
     resident = D * D * itemsize
     if backward:
         resident += D * D * 4 + D * 4
+    io_width = 3 * D + D + (3 * D if backward else 0)
+    io = 2 * g * n * io_width * itemsize
+    temps = g * n * D * itemsize * (2 if backward else 1)  # O (+ dO)
+    scores = int((2.5 if backward else 1.5) * num_heads * g * n * n * 4)
+    return resident + io + temps + scores
+
+
+def _pick_rows(B: int, n: int, num_heads: int, D: int, itemsize: int, *,
+               backward: bool, check_ceiling: bool = True) -> int:
+    """Largest G whose working set fits the 10 MB selection budget.
+
+    When no G fits (the production ViT-B backward lands here), fall back to
+    g=1 but verify the g=1 working set still fits ``_VMEM_CEILING`` so
+    future shape growth fails loudly at trace time, not at Mosaic compile
+    (pass ``check_ceiling=False`` for interpret mode, which has no VMEM)."""
     for g in (16, 8, 4, 2, 1):
         if B % g:
             continue
-        io_width = 3 * D + D + (3 * D if backward else 0)
-        io = 2 * g * n * io_width * itemsize
-        temps = g * n * D * itemsize * (2 if backward else 1)  # O (+ dO)
-        scores = int((2.5 if backward else 1.5) * num_heads * g * n * n * 4)
-        if resident + io + temps + scores < 10 * 1024 * 1024:
+        if _working_set(g, n, num_heads, D, itemsize, backward=backward) < 10 * 1024 * 1024:
             return g
+    floor = _working_set(1, n, num_heads, D, itemsize, backward=backward)
+    if check_ceiling and floor > _VMEM_CEILING:
+        raise ValueError(
+            f"fused_attention_proj {'backward' if backward else 'forward'}: "
+            f"g=1 working set ~{floor / 2**20:.1f} MB exceeds the "
+            f"{_VMEM_CEILING / 2**20:.0f} MB VMEM ceiling at "
+            f"(N={n}, H={num_heads}, D={D}, itemsize={itemsize}); "
+            "this shape cannot compile — use the unfused path."
+        )
     return 1
 
 
 def _fwd_impl(qkv, w, b, num_heads, interpret, softmax_f32, valid_len):
+    interpret = interpret or _FORCE_INTERPRET
     B, N, threeD = qkv.shape
     D = threeD // 3
     head_dim = D // num_heads
     scale = 1.0 / math.sqrt(head_dim)
     n_valid = N if valid_len is None else int(valid_len)
-    rows = _pick_rows(B, N, num_heads, D, qkv.dtype.itemsize, backward=False)
+    rows = _pick_rows(B, N, num_heads, D, qkv.dtype.itemsize,
+                      backward=False, check_ceiling=not interpret)
     kernel = functools.partial(
         _fwd_kernel, n_valid=n_valid, num_heads=num_heads,
         head_dim=head_dim, scale=scale, f32=softmax_f32,
@@ -186,7 +223,9 @@ def _fwd_impl(qkv, w, b, num_heads, interpret, softmax_f32, valid_len):
         out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * num_heads * N * N * head_dim + 2 * B * N * D * D,
-            bytes_accessed=B * N * (threeD + D) * qkv.dtype.itemsize,
+            # read + write factor matching the sibling fused_qkv_attention
+            # kernels (2× the streamed operand/output footprint).
+            bytes_accessed=2 * B * N * (threeD + D) * qkv.dtype.itemsize,
             transcendentals=B * num_heads * N * N,
         ),
         interpret=interpret,
@@ -195,12 +234,14 @@ def _fwd_impl(qkv, w, b, num_heads, interpret, softmax_f32, valid_len):
 
 
 def _bwd_impl(qkv, w, grad_out, num_heads, interpret, softmax_f32, valid_len):
+    interpret = interpret or _FORCE_INTERPRET
     B, N, threeD = qkv.shape
     D = threeD // 3
     head_dim = D // num_heads
     scale = 1.0 / math.sqrt(head_dim)
     n_valid = N if valid_len is None else int(valid_len)
-    rows = _pick_rows(B, N, num_heads, D, qkv.dtype.itemsize, backward=True)
+    rows = _pick_rows(B, N, num_heads, D, qkv.dtype.itemsize,
+                      backward=True, check_ceiling=not interpret)
     kernel = functools.partial(
         _bwd_kernel, n_valid=n_valid, num_heads=num_heads,
         head_dim=head_dim, scale=scale, f32=softmax_f32,
@@ -270,15 +311,17 @@ def fused_attention_proj(
 
 def _vjp_fwd(qkv, w, b, num_heads, interpret, softmax_f32, valid_len):
     out = _fwd_impl(qkv, w, b, num_heads, interpret, softmax_f32, valid_len)
-    return out, (qkv, w)
+    # b rides along in the residuals only for its dtype: the bias cotangent
+    # must match the bias's own dtype even if it ever differs from w's.
+    return out, (qkv, w, b)
 
 
 def _vjp_bwd(num_heads, interpret, softmax_f32, valid_len, residuals, grad_out):
-    qkv, w = residuals
+    qkv, w, b = residuals
     dqkv, dw, db = _bwd_impl(
         qkv, w, grad_out, num_heads, interpret, softmax_f32, valid_len
     )
-    return dqkv, dw.astype(w.dtype), db.astype(w.dtype)
+    return dqkv, dw.astype(w.dtype), db.astype(b.dtype)
 
 
 fused_attention_proj.defvjp(_vjp_fwd, _vjp_bwd)

@@ -372,13 +372,104 @@ def test_fused_attention_proj_parity():
 
 def test_attn_proj_fold_via_layers(monkeypatch):
     """BENCH_ATTN_PROJ=1 routes layers.attention's flattened Pallas path
-    through the folded kernel; knob read is trace-time (env, not import)."""
+    through the folded kernel (argument order, p['proj'] extraction, the
+    (B·N, D) reshape), matching the plain path's output.  The knob read is
+    trace-time (env, not import); the production call hardcodes
+    interpret=False, so the test forces interpret via the module hook."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.models import layers
     from ssl4polyp_tpu.ops import attn_proj
 
     monkeypatch.setenv("BENCH_ATTN_PROJ", "1")
     assert attn_proj.attn_proj_fold_enabled()
+    monkeypatch.setattr(attn_proj, "_FORCE_INTERPRET", True)
+
+    B, N, D, H = 2, 16, 32, 4
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    x = jax.random.normal(ks[0], (B * N, D), jnp.float32)
+    p = {
+        "qkv": {
+            "kernel": jax.random.normal(ks[1], (D, 3 * D), jnp.float32) * 0.1,
+            "bias": jax.random.normal(ks[2], (3 * D,), jnp.float32) * 0.05,
+        },
+        "proj": {
+            "kernel": jax.random.normal(ks[3], (D, D), jnp.float32) * 0.1,
+            "bias": jax.random.normal(ks[4], (D,), jnp.float32) * 0.05,
+        },
+    }
+    folded = layers.attention(x, p, H, use_pallas=True, seq_len=N)
+    assert folded.shape == (B * N, D)
+    plain = layers.attention(x, p, H, use_pallas=False, seq_len=N)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain),
+                               rtol=1e-4, atol=1e-4)
+
     monkeypatch.setenv("BENCH_ATTN_PROJ", "0")
     assert not attn_proj.attn_proj_fold_enabled()
+
+
+def test_attn_proj_bf16_and_compute_softmax():
+    """softmax_f32=False and bf16 operands: the folded kernel stays within
+    bf16 resolution of the unfused reference (these configs previously had
+    only hand-verified parity, PERF_NOTES round 4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl4polyp_tpu.ops.attn_proj import fused_attention_proj
+    from ssl4polyp_tpu.ops.qkv_attention import fused_qkv_attention
+
+    B, N, D, H = 4, 24, 32, 4
+    qkv32 = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * D), jnp.float32)
+    w32 = jax.random.normal(jax.random.PRNGKey(1), (D, D), jnp.float32) * 0.1
+    b32 = jax.random.normal(jax.random.PRNGKey(2), (D,), jnp.float32) * 0.05
+
+    def ref(qkv, w, b, f32):
+        out = fused_qkv_attention(qkv, H, True, f32, None)
+        return jnp.dot(out, w) + b
+
+    # fp32 operands, compute-dtype (fp32 storage anyway) softmax
+    out = fused_attention_proj(qkv32, w32, b32, H, True, False, None)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref(qkv32, w32, b32, False)), atol=1e-5
+    )
+    g_new = jax.grad(
+        lambda q, w, b: (fused_attention_proj(q, w, b, H, True, False, None) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(qkv32, w32, b32)
+    g_ref = jax.grad(
+        lambda q, w, b: (ref(q, w, b, False) ** 2).sum(), argnums=(0, 1, 2)
+    )(qkv32, w32, b32)
+    for a, c in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=2e-4)
+
+    # bf16 operands, bf16 softmax (the MAE pretraining configuration)
+    qkv16, w16, b16 = (t.astype(jnp.bfloat16) for t in (qkv32, w32, b32))
+    out16 = fused_attention_proj(qkv16, w16, b16, H, True, False, None)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32),
+        np.asarray(ref(qkv16, w16, b16, False), np.float32),
+        atol=5e-2,
+    )
+    g16 = jax.grad(
+        lambda q, w, b: (
+            fused_attention_proj(q, w, b, H, True, False, None).astype(jnp.float32) ** 2
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(qkv16, w16, b16)
+    gr16 = jax.grad(
+        lambda q, w, b: (ref(q, w, b, False).astype(jnp.float32) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(qkv16, w16, b16)
+    for a, c in zip(g16, gr16):
+        assert a.dtype == c.dtype  # cotangent dtypes follow the operands
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(c, np.float32),
+                                   rtol=0.1, atol=0.2)
 
 
 def test_gelu_polynomial_accuracy():
