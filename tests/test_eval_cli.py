@@ -84,6 +84,12 @@ def test_eval_roundtrip_from_training(tmp_path):
     assert (eval_dir / "eval_results.txt").exists()
     assert (eval_dir / "logits.npz").exists()
     assert (eval_dir / "metadata.jsonl").exists()
+    # reference wire format: logits.pt is a bare torch tensor loadable with
+    # the restricted (weights_only) unpickler (reference eval_outputs.py:28)
+    torch = pytest.importorskip("torch")
+    loaded = torch.load(eval_dir / "logits.pt", weights_only=True)
+    stored = np.load(eval_dir / "logits.npz")
+    np.testing.assert_array_equal(loaded.numpy(), stored["logits"].astype(np.float32))
     assert json.loads((eval_dir / "tau.json").read_text())["tau"] == pytest.approx(summary["tau"])
     # evaluation must reproduce the training-time test AUROC (same params/tau)
     assert result["auroc"] == pytest.approx(summary["test_auroc"], abs=1e-6)

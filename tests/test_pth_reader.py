@@ -217,3 +217,81 @@ def test_published_mae_checkpoint_shape(tmp_path):
         full["optimizer"]["state"][0]["exp_avg"],
         optimizer["state"][0]["exp_avg"].numpy(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Torch-free WRITER (models/pth_writer.py): the mirror direction — artifacts
+# written on a torch-less TPU host must load with the reference's torch.load
+# (reference consumer: eval_outputs.py:28 logits.pt).
+# ---------------------------------------------------------------------------
+
+def test_writer_roundtrip_through_torch(tmp_path):
+    from ssl4polyp_tpu.models.pth_writer import write_pt
+
+    rng = np.random.default_rng(0)
+    obj = {
+        "logits": rng.normal(size=(7, 2)).astype(np.float32),
+        "targets": np.arange(7, dtype=np.int64),
+        "meta": {"tau": 0.37, "name": "x", "flag": True, "none": None,
+                 "list": [1, 2.5, "s"], "tup": (1, 2, 3, 4)},
+        "bools": np.array([True, False]),
+        "u8": rng.integers(0, 255, (2, 5)).astype(np.uint8),
+        "f64": rng.normal(size=(3,)),
+        "f16": rng.normal(size=(3,)).astype(np.float16),
+    }
+    path = tmp_path / "graph.pt"
+    with _BlockTorch():
+        write_pt(path, obj)
+
+    # the DEFAULT (restricted, weights_only) torch unpickler must accept it
+    loaded = torch.load(path, weights_only=True)
+    assert loaded["logits"].dtype == torch.float32
+    assert loaded["targets"].dtype == torch.int64
+    assert loaded["u8"].dtype == torch.uint8
+    assert loaded["f16"].dtype == torch.float16
+    for key in ("logits", "targets", "bools", "u8", "f64", "f16"):
+        np.testing.assert_array_equal(loaded[key].numpy(), obj[key])
+    assert loaded["meta"] == obj["meta"]
+
+    # and the torch-free reader closes the loop
+    with _BlockTorch():
+        back = read_pth(path)
+    np.testing.assert_array_equal(back["logits"], obj["logits"])
+
+
+def test_writer_bare_tensor_and_bf16(tmp_path):
+    import ml_dtypes
+
+    from ssl4polyp_tpu.models.pth_writer import write_pt
+
+    logits = np.random.default_rng(1).normal(size=(5, 2)).astype(np.float32)
+    with _BlockTorch():
+        write_pt(tmp_path / "bare.pt", logits, archive_name="logits")
+    bare = torch.load(tmp_path / "bare.pt", weights_only=True)
+    assert isinstance(bare, torch.Tensor)
+    np.testing.assert_array_equal(bare.numpy(), logits)
+
+    bf = np.arange(6, dtype=np.float32).astype(ml_dtypes.bfloat16).reshape(2, 3)
+    with _BlockTorch():
+        write_pt(tmp_path / "bf.pt", {"w": bf})
+    loaded = torch.load(tmp_path / "bf.pt", weights_only=True)
+    assert loaded["w"].dtype == torch.bfloat16
+    np.testing.assert_array_equal(
+        loaded["w"].float().numpy(), bf.astype(np.float32)
+    )
+
+
+def test_writer_non_contiguous_and_errors(tmp_path):
+    from ssl4polyp_tpu.models.pth_writer import TorchPickleError, write_pt
+
+    base = np.arange(24, dtype=np.float32).reshape(4, 6)
+    view = base[::2, ::3]  # non-contiguous — writer must normalise
+    with _BlockTorch():
+        write_pt(tmp_path / "v.pt", {"v": view})
+    loaded = torch.load(tmp_path / "v.pt", weights_only=True)
+    np.testing.assert_array_equal(loaded["v"].numpy(), view)
+
+    with pytest.raises(TorchPickleError):
+        write_pt(tmp_path / "bad.pt", {"obj": object()})
+    with pytest.raises(TorchPickleError):
+        write_pt(tmp_path / "badarr.pt", np.array(["strings"]))
