@@ -43,6 +43,7 @@ from ssl4polyp_tpu.parallel.mesh import build_mesh
 from ssl4polyp_tpu.training import optim
 from ssl4polyp_tpu.training.schedules import warmup_cosine
 from ssl4polyp_tpu.utils.checkpoint import (
+    AsyncCheckpointer,
     cleanup_checkpoints,
     load_checkpoint,
     save_checkpoint,
@@ -81,6 +82,11 @@ class PretrainSettings:
     steps_per_call: int = 1  # optimizer steps fused per device dispatch
     limit_steps_per_epoch: Optional[int] = None  # smoke runs
     resume: Optional[str] = None  # "auto" | path | None
+    # Overlap checkpoint serialization/writes with the next epoch's compute
+    # (utils/checkpoint.py::AsyncCheckpointer; the device→host snapshot stays
+    # synchronous for donation safety).  The reference saves synchronously
+    # (util/misc.py:306-335); off restores that behaviour.
+    async_checkpoint: bool = True
 
     @property
     def effective_batch(self) -> int:
@@ -341,6 +347,8 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
         except ValueError:
             pass  # not in main thread
 
+    checkpointer = AsyncCheckpointer() if settings.async_checkpoint else None
+
     def save_epoch(epoch: int) -> Path:
         payload = {
             "params": params,
@@ -352,13 +360,26 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
             "model": settings.model,
         }
         path = ckpt_dir / f"checkpoint-{epoch}.ckpt"
+
+        def _cleanup():
+            cleanup_checkpoints(
+                ckpt_dir,
+                keep_last=settings.keep_last,
+                keep_every_n_epochs=settings.keep_every_n_epochs,
+            )
+
+        if checkpointer is not None:
+            # Host snapshot now (donation-safe), serialize+write+pointer+
+            # retention on the writer thread, overlapped with the next
+            # epoch's compute.
+            checkpointer.save(
+                path, payload, meta,
+                pointer=ckpt_dir / "last.ckpt", cleanup=_cleanup,
+            )
+            return path
         save_checkpoint(path, payload, meta)
         update_pointer(ckpt_dir / "last.ckpt", path)
-        cleanup_checkpoints(
-            ckpt_dir,
-            keep_last=settings.keep_last,
-            keep_every_n_epochs=settings.keep_every_n_epochs,
-        )
+        _cleanup()
         return path
 
     if steps_per_call > 1:
@@ -480,6 +501,11 @@ def run_pretraining(settings: PretrainSettings, mesh=None) -> Dict[str, Any]:
                 save_epoch(epoch)
             summary = epoch_record
     finally:
+        if checkpointer is not None:
+            # Join the in-flight write on EVERY exit path (normal, signal
+            # save-and-exit, non-finite-loss abort) so the process never
+            # exits with a half-written .tmp pending.
+            checkpointer.wait()
         for sig, handler in old_handlers.items():
             signal.signal(sig, handler)
         logger.close()

@@ -23,8 +23,10 @@ from __future__ import annotations
 import json
 import re
 import shutil
+import threading
+import time
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 
@@ -34,17 +36,50 @@ __all__ = [
     "load_checkpoint_meta",
     "update_pointer",
     "cleanup_checkpoints",
+    "AsyncCheckpointer",
 ]
 
+# Test hook: seconds to sleep between writing the .tmp file and the atomic
+# rename (lets crash-safety tests kill the process mid-save).
+_WRITE_DELAY_S = 0.0
 
-def _to_numpy(tree: Any) -> Any:
+
+def _to_numpy(tree: Any, copy: bool = False) -> Any:
+    """Host-numpy snapshot of a pytree.  ``copy=True`` guarantees the result
+    aliases NO caller memory (device arrays already copy on transfer; host
+    numpy leaves are copied explicitly) — required by the async writer,
+    whose caller keeps mutating the source tree."""
     if isinstance(tree, dict):
-        return {key: _to_numpy(value) for key, value in tree.items()}
+        return {key: _to_numpy(value, copy) for key, value in tree.items()}
     if isinstance(tree, (list, tuple)):
-        return type(tree)(_to_numpy(item) for item in tree)
+        return type(tree)(_to_numpy(item, copy) for item in tree)
     if hasattr(tree, "shape") and hasattr(tree, "dtype"):
-        return np.asarray(tree)
+        array = np.asarray(tree)
+        if copy and array is tree:
+            array = array.copy()
+        return array
     return tree
+
+
+def _write_checkpoint_file(path: Path, snapshot: Dict[str, Any],
+                           meta: Dict[str, Any]) -> None:
+    """Serialize + write + atomic rename.  ``snapshot`` must already be
+    host numpy (no device handles — safe off the main thread)."""
+    from flax import serialization
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    document = {"payload": snapshot, "meta": meta}
+    data = serialization.msgpack_serialize(document)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    if _WRITE_DELAY_S:
+        time.sleep(_WRITE_DELAY_S)
+    tmp.replace(path)  # atomic on POSIX: a crash mid-save keeps the old file
+    sidecar = path.with_suffix(path.suffix + ".json")
+    try:
+        sidecar.write_text(json.dumps(meta, indent=2, default=str), encoding="utf-8")
+    except TypeError:
+        pass
 
 
 def save_checkpoint(path: str | Path, payload: Dict[str, Any], meta: Optional[Dict[str, Any]] = None) -> Path:
@@ -52,25 +87,93 @@ def save_checkpoint(path: str | Path, payload: Dict[str, Any], meta: Optional[Di
 
     Multi-host: only the primary process writes (reference rank-0 save guard,
     ``util/misc.py:306-335``); other hosts return the path untouched."""
-    from flax import serialization
-
     from ssl4polyp_tpu.parallel.multihost import is_primary
 
     path = Path(path)
     if not is_primary():
         return path
-    path.parent.mkdir(parents=True, exist_ok=True)
-    document = {"payload": _to_numpy(payload), "meta": meta or {}}
-    data = serialization.msgpack_serialize(document)
-    tmp = path.with_suffix(path.suffix + ".tmp")
-    tmp.write_bytes(data)
-    tmp.replace(path)  # atomic on POSIX
-    sidecar = path.with_suffix(path.suffix + ".json")
-    try:
-        sidecar.write_text(json.dumps(meta or {}, indent=2, default=str), encoding="utf-8")
-    except TypeError:
-        pass
+    _write_checkpoint_file(path, _to_numpy(payload), meta or {})
     return path
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint writes with the next epoch's compute.
+
+    The reference saves synchronously (``util/misc.py:306-335``); this is the
+    TPU-first improvement (VERDICT r4 item 6).  Split of work:
+
+    * **synchronous** (caller's thread): the device→host snapshot
+      (``np.asarray`` on every leaf).  It must complete before returning
+      because training loops donate their parameter/optimizer buffers into
+      the next step — a background read of a donated buffer would race with
+      its deletion.
+    * **asynchronous** (one background thread, ≤1 write in flight): msgpack
+      serialization, the .tmp write, the atomic rename, then the optional
+      pointer update and retention cleanup — all pure host I/O.
+
+    A crash mid-write leaves the previous checkpoint and pointer intact (the
+    rename is the commit point; tested in
+    ``tests/test_checkpoint.py::test_async_crash_safety``).  Exceptions from
+    the writer thread re-raise on the next :meth:`save`/:meth:`wait`.
+    """
+
+    def __init__(self) -> None:
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+        # serialize+write time of the last completed async save (telemetry)
+        self.last_write_seconds: Optional[float] = None
+        self.last_snapshot_seconds: Optional[float] = None
+
+    def wait(self) -> None:
+        """Join the in-flight write (call before load/exit)."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            error, self._error = self._error, None
+            raise error
+
+    def save(
+        self,
+        path: str | Path,
+        payload: Dict[str, Any],
+        meta: Optional[Dict[str, Any]] = None,
+        *,
+        pointer: Optional[str | Path] = None,
+        cleanup: Optional[Callable[[], Any]] = None,
+    ) -> Path:
+        """Snapshot now, write in the background; returns immediately after
+        the host snapshot.  ``pointer``/``cleanup`` run on the writer thread
+        AFTER the atomic rename so observers never see a pointer to a
+        missing/partial file."""
+        from ssl4polyp_tpu.parallel.multihost import is_primary
+
+        path = Path(path)
+        if not is_primary():
+            return path
+        self.wait()  # at most one write in flight; surfaces prior errors
+        t0 = time.perf_counter()
+        snapshot = _to_numpy(payload, copy=True)
+        self.last_snapshot_seconds = time.perf_counter() - t0
+        meta_copy = dict(meta or {})
+
+        def _run() -> None:
+            try:
+                w0 = time.perf_counter()
+                _write_checkpoint_file(path, snapshot, meta_copy)
+                if pointer is not None:
+                    update_pointer(pointer, path)
+                if cleanup is not None:
+                    cleanup()
+                self.last_write_seconds = time.perf_counter() - w0
+            except BaseException as exc:  # noqa: BLE001 - re-raised on wait()
+                self._error = exc
+
+        self._thread = threading.Thread(
+            target=_run, name="async-checkpoint", daemon=True
+        )
+        self._thread.start()
+        return path
 
 
 def load_checkpoint(path: str | Path) -> Dict[str, Any]:
