@@ -157,3 +157,79 @@ def test_eval_cli_threshold_pack_recompute(packs, tmp_path):
     )
     assert result["tau"] is not None
     assert 0.0 <= result["tau"] <= 1.0
+
+
+def test_exp4_subset_percent_flow(packs, tmp_path):
+    """exp4 through the engine: dataset.percent selects the sun_p{NN}
+    TRAIN pack while val/test stay on the full base pack; provenance records
+    the percent and the run passes exp4 guardrails (VERDICT r4 item 7)."""
+    subsets = packs / "sun_subsets"
+    subsets.mkdir()
+    make_image_pack(subsets, name="sun_p10", frames_per_split=8, image_size=32)
+
+    cfg = tiny_cfg("sun_subsets")
+    cfg["dataset"] = {
+        "name": "sun_subsets",
+        "base_pack": "sun_full",
+        "available_percents": [5, 10, 25, 50, 100],
+        "train_pattern": "sun_subsets/sun_p{percent:02d}",
+        "seeds": [13],
+        "splits": {"train": "train", "val": "val", "test": "test"},
+        "percent": 10,  # the --override dataset.percent=10 path
+    }
+    cfg["protocol"]["subset_percents"] = [5, 10, 25, 50, 100]
+    plan = proto.resolve_run_plan(cfg, model_key="sup_imnet", seed=13)
+    assert plan.dataset_resolved["percent"] == 10
+    ctx = build_run(plan, output_dir=tmp_path / "out", pack_root=packs,
+                    model_overrides=TINY_MODEL)
+    # train comes from the subset pack; val/test from the base pack
+    assert "sun_p10" in str(ctx.datasets["train"].provenance.get("csv_path"))
+    assert "sun_full" in str(ctx.datasets["val"].provenance.get("csv_path"))
+    assert "sun_full" in str(ctx.datasets["test"].provenance.get("csv_path"))
+    summary = run_classification_training(ctx)
+
+    metrics_path = Path(summary["metrics_path"])
+    payload = json.loads(metrics_path.read_text())
+    assert payload["provenance"]["subset_percent"] == 10.0
+    assert payload["data"]["train"]["path"] == "sun_subsets/sun_p10/train"
+    assert payload["data"]["val"]["path"] == "sun_full/val"
+    # the stem carries the subset segment (reference run-layout
+    # dataset segments, train_classification.py:3609-3701)
+    assert "p10" in summary["stem"].lower()
+
+    from ssl4polyp_tpu.analysis.guardrails import ResultLoader
+
+    loader = ResultLoader(exp_id="exp4", strict=True)
+    loader.validate(metrics_path, payload)
+
+
+def test_exp2_protocol_flow(packs, tmp_path):
+    """exp2 through the engine: the ssl_imnet vs ssl_colon comparison
+    protocol (f1_opt primary + youden sensitivity) over one config, both
+    models, artifacts passing exp2 guardrails."""
+    cfg = tiny_cfg()
+    cfg["models"] = [
+        {"model": {"key": "ssl_imnet", "arch": "vit_b", "pretraining": "random"}},
+        {"model": {"key": "ssl_colon", "arch": "vit_b", "pretraining": "random"}},
+    ]
+    cfg["protocol"]["comparison"] = "domain_vs_generic"
+    cfg["reporting"] = {"inputs_subdir": "exp2_sun_baselines_sslcolon_vs_sslimnet"}
+
+    from ssl4polyp_tpu.analysis.guardrails import ResultLoader
+
+    stems = []
+    for model in ("ssl_imnet", "ssl_colon"):
+        plan = proto.resolve_run_plan(cfg, model_key=model, seed=13)
+        assert plan.threshold_policy == "f1_opt_on_val"
+        assert plan.sensitivity_threshold_policy == "youden_on_val"
+        ctx = build_run(plan, output_dir=tmp_path / "out", pack_root=packs,
+                        model_overrides=TINY_MODEL)
+        summary = run_classification_training(ctx)
+        stems.append(summary["stem"])
+        metrics_path = Path(summary["metrics_path"])
+        payload = json.loads(metrics_path.read_text())
+        assert payload["provenance"]["model"] == model
+        assert "test_sensitivity" in payload
+        loader = ResultLoader(exp_id="exp2", strict=True)
+        loader.validate(metrics_path, payload)
+    assert stems[0] != stems[1]
