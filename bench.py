@@ -87,11 +87,12 @@ def _measure(jit_call, *, images_per_iter: int, n_devices: int):
     return float(np.median(per_trial)), per_trial
 
 
-def _emit(metric: str, per_chip: float, per_trial, *, baseline: float) -> None:
+def _emit(metric: str, per_chip: float, per_trial, *, baseline: float,
+          extra: dict | None = None) -> None:
     import numpy as np
 
     q1, q3 = (float(np.quantile(per_trial, q)) for q in (0.25, 0.75))
-    print(json.dumps({
+    record = {
         "metric": metric,
         "value": round(per_chip, 1),
         "unit": "images/sec/chip",
@@ -100,7 +101,68 @@ def _emit(metric: str, per_chip: float, per_trial, *, baseline: float) -> None:
         "iqr": [round(q1, 1), round(q3, 1)],
         "min": round(min(per_trial), 1),
         "max": round(max(per_trial), 1),
-    }))
+    }
+    if extra:
+        record.update(extra)
+    print(json.dumps(record))
+
+
+def _peak_tflops_per_chip() -> float:
+    """bf16 peak of the attached chip (BENCH_PEAK_TFLOPS overrides).
+
+    Published per-chip dense bf16 peaks; substring-matched on
+    ``device_kind``.  Unknown kinds (incl. the CPU smoke mesh) return 0 and
+    the MFU field is omitted rather than fabricated."""
+    import jax
+
+    override = os.environ.get("BENCH_PEAK_TFLOPS")
+    if override:
+        return float(override)
+    kind = (jax.devices()[0].device_kind or "").lower()
+    table = [
+        ("v5 lite", 197.0), ("v5e", 197.0),
+        ("v5p", 459.0), ("v5", 459.0),
+        ("v6 lite", 918.0), ("v6e", 918.0),
+        ("v4", 275.0),
+        ("v3", 123.0),
+        ("v2", 46.0),
+    ]
+    for key, peak in table:
+        if key in kind:
+            return peak
+    return 0.0
+
+
+def _mae_train_flops_per_image(cfg) -> float:
+    """Analytic matmul FLOPs for one image's MAE train step (fwd + bwd).
+
+    Per transformer block forward (2·M·N·K FLOPs per matmul): QKV 6·N·D² +
+    scores 2·N²·D + AV 2·N²·D + proj 2·N·D² + MLP 16·N·D², totalling
+    24·N·D² + 4·N²·D FLOPs.  Backward
+    ≈ 2× forward (dX and dW per matmul); remat would add ~1 fwd more (the
+    default runs remat off).  Padded sequence lengths count as executed
+    FLOPs.  At ViT-B/16 mask 0.75 this lands at ≈59 GF/img — consistent
+    with the round-1 trace's ~58 TF/s plateau at 787 img/s with remat
+    (≈4× fwd ≈ 79 GF/img)."""
+    enc = cfg.encoder
+    n_enc = 1 + cfg.len_keep
+    if cfg.encoder_pad_to:
+        n_enc = max(n_enc, int(cfg.encoder_pad_to))
+    n_dec = 1 + enc.num_patches
+    if cfg.decoder_pad_to:
+        n_dec = max(n_dec, int(cfg.decoder_pad_to))
+
+    def block_fwd(n: int, d: int) -> float:
+        return 24.0 * n * d * d + 4.0 * n * n * d
+
+    d_enc, d_dec = enc.embed_dim, cfg.decoder_embed_dim
+    fwd = enc.depth * block_fwd(n_enc, d_enc)
+    fwd += cfg.decoder_depth * block_fwd(n_dec, d_dec)
+    fwd += 2.0 * enc.num_patches * enc.patch_dim * d_enc      # patch embed
+    fwd += 2.0 * n_enc * d_enc * d_dec                        # decoder embed
+    fwd += 2.0 * n_dec * d_dec * enc.patch_dim                # pixel pred
+    bwd_factor = 3.0 if getattr(enc, "remat", False) else 2.0
+    return fwd * (1.0 + bwd_factor)
 
 
 def bench_finetune() -> None:
@@ -424,8 +486,237 @@ def main() -> None:
     )
     if trace_dir:
         jax.profiler.stop_trace()
+    # MFU: analytic matmul FLOPs/img × achieved rate ÷ the chip's bf16 peak
+    # (VERDICT r4 item 8 — track utilisation, not just throughput).
+    flops_per_image = _mae_train_flops_per_image(cfg)
+    extra = {"flops_per_image_g": round(flops_per_image / 1e9, 2)}
+    peak = _peak_tflops_per_chip()
+    if peak > 0:
+        extra["mfu"] = round(per_chip * flops_per_image / (peak * 1e12), 4)
+        extra["peak_tflops"] = peak
+        extra["achieved_tflops"] = round(per_chip * flops_per_image / 1e12, 1)
     _emit("mae_vitb16_pretrain_throughput", per_chip, per_trial,
-          baseline=BASELINE_IMAGES_PER_SEC)
+          baseline=BASELINE_IMAGES_PER_SEC, extra=extra)
+
+
+def _ensure_corpus(n_frames: int, src_h: int, src_w: int) -> Path:
+    """Synthetic JPEG corpus at SUN-like source resolution (cached in /tmp).
+
+    Low-frequency content + noise gives realistic JPEG entropy (pure noise
+    decodes unrealistically slowly; flat color unrealistically fast)."""
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    corpus = Path(tempfile.gettempdir()) / f"bench_input_{n_frames}_{src_h}x{src_w}"
+    if not corpus.exists() or len(list(corpus.glob("*.jpg"))) < n_frames:
+        corpus.mkdir(parents=True, exist_ok=True)
+        rng = np.random.default_rng(0)
+        for i in range(n_frames):
+            base = rng.integers(0, 255, size=(src_h // 16, src_w // 16, 3),
+                                dtype=np.uint8)
+            img = Image.fromarray(base).resize((src_w, src_h), Image.BILINEAR)
+            arr = np.asarray(img, dtype=np.int16)
+            arr = np.clip(
+                arr + rng.integers(-12, 12, size=arr.shape, dtype=np.int16),
+                0, 255,
+            ).astype(np.uint8)
+            Image.fromarray(arr).save(corpus / f"f{i:05d}.jpg", quality=90)
+    return corpus
+
+
+def bench_e2e() -> None:
+    """Combined loader→device sustained pipeline (VERDICT r4 item 4).
+
+    The host PretrainLoader (JPEG decode + random-resized-crop, native C++
+    path when available) feeds the REAL jitted MAE train step concurrently
+    — prefetch threads decode the next batches while the chip steps.  This
+    measures the overlap, not two separate numbers:
+
+    * ``value``: end-to-end images/sec/chip through the combined pipeline;
+    * ``host_fetch_wait_fraction``: share of wall time the dispatch loop
+      spent blocked waiting for the next host batch (0 ⇒ host fully hides
+      behind device compute; ~1 ⇒ host-bound);
+    * ``device_only_img_s``: same step on pre-staged device batches,
+      measured in-run (the stall-free ceiling);
+    * ``projected_full_host_img_s``: honest projection of the host rate to
+      BENCH_INPUT_HOST_CORES cores when this terminal exposes a subset.
+
+    Reference counterpart: torch DataLoader workers feeding DDP
+    (``packs.py:319-394`` + ``engine_pretrain.py:22``).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ssl4polyp_tpu.data.augment import normalize_batch
+    from ssl4polyp_tpu.data.folder import ImageFolderIndex, PretrainLoader
+    from ssl4polyp_tpu.models.layers import cast_params_for_compute
+    from ssl4polyp_tpu.models.mae import MAE_VIT_B16, init_mae, mae_forward
+    from ssl4polyp_tpu.parallel.mesh import build_mesh
+    from ssl4polyp_tpu.training import optim
+
+    n_devices = len(jax.devices())
+    batch = int(_env("BENCH_BATCH")) * n_devices
+    workers = int(os.environ.get("BENCH_E2E_WORKERS", "32"))
+    n_frames = int(os.environ.get("BENCH_INPUT_FRAMES", "2048"))
+    min_seconds = float(os.environ.get("BENCH_E2E_SECONDS", "25"))
+
+    cfg = MAE_VIT_B16
+    encoder = dataclasses.replace(
+        cfg.encoder,
+        use_pallas_attention=_env("BENCH_PALLAS") == "1",
+        unroll_blocks=_env("BENCH_UNROLL") == "1",
+        attention_softmax_f32=_env("BENCH_F32_SOFTMAX") == "1",
+        mlp_fusion=_env("BENCH_MLP"),
+    )
+    cfg = dataclasses.replace(
+        cfg, encoder=encoder,
+        decoder_depth=int(os.environ.get("BENCH_DECODER_DEPTH", cfg.decoder_depth)),
+        decoder_pad_to=(int(_env("BENCH_DECODER_PAD")) or None),
+    )
+
+    mesh = build_mesh()
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+
+    params = init_mae(jax.random.PRNGKey(0), cfg)
+    opt_state = optim.adamw_init(params)
+    wd_scale = optim.no_weight_decay_scales(params)
+    lr_scale = optim.pretrain_lr_scales(params)
+
+    def step(p, p_c, s, images_u8, key):
+        def loss_fn(p_c):
+            images = normalize_batch(images_u8, dtype=cfg.encoder.compute_dtype)
+            loss, _, _ = mae_forward(p_c, images, key, cfg)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(p_c)
+        p, s = optim.adamw_update(
+            p, grads, s, lr=1e-3, b1=0.9, b2=0.95, weight_decay=0.05,
+            lr_scale=lr_scale, wd_scale=wd_scale,
+        )
+        return p, cast_params_for_compute(p, cfg.encoder.compute_dtype), s, loss
+
+    jit_step = jax.jit(
+        step,
+        in_shardings=(replicated, replicated, replicated, sharded, replicated),
+        out_shardings=(replicated,) * 3 + (replicated,),
+        donate_argnums=(0, 1, 2),
+    )
+
+    params = jax.device_put(params, replicated)
+    params_c = jax.device_put(
+        jax.jit(lambda p: cast_params_for_compute(p, cfg.encoder.compute_dtype))(params),
+        replicated,
+    )
+    opt_state = jax.device_put(opt_state, replicated)
+    key = jax.random.PRNGKey(1)
+
+    corpus = _ensure_corpus(
+        n_frames,
+        int(os.environ.get("BENCH_INPUT_SRC_H", "1080")),
+        int(os.environ.get("BENCH_INPUT_SRC_W", "1240")),
+    )
+    index = ImageFolderIndex(corpus, no_train_dir=True)
+    loader = PretrainLoader(
+        index, batch, image_size=224, num_workers=workers, prefetch_batches=4,
+    )
+
+    # warm up the executable on one staged batch
+    rng = np.random.default_rng(0)
+    staged = jax.device_put(
+        rng.integers(0, 255, (batch, 224, 224, 3), dtype=np.uint8), sharded
+    )
+    for i in range(3):
+        params, params_c, opt_state, loss = jit_step(
+            params, params_c, opt_state, staged, jax.random.fold_in(key, i))
+    float(loss)
+
+    # device-only ceiling, measured in-run on the staged batch
+    t0 = time.perf_counter()
+    ceiling_iters = 8
+    for i in range(ceiling_iters):
+        params, params_c, opt_state, loss = jit_step(
+            params, params_c, opt_state, staged, jax.random.fold_in(key, 10 + i))
+    float(loss)
+    device_only = batch * ceiling_iters / (time.perf_counter() - t0) / n_devices
+
+    # sustained combined pipeline: loader prefetch threads decode while the
+    # chip steps; fetch-wait is the time THIS loop blocks on the host.
+    n_images = 0
+    fetch_wait = 0.0
+    wall0 = time.perf_counter()
+    step_index = 100
+    epoch = 0
+    while True:
+        loader.set_epoch(epoch)
+        for host_batch in loader:
+            device_batch = jax.device_put(host_batch, sharded)
+            params, params_c, opt_state, loss = jit_step(
+                params, params_c, opt_state, device_batch,
+                jax.random.fold_in(key, step_index),
+            )
+            step_index += 1
+            n_images += host_batch.shape[0]
+        epoch += 1
+        if time.perf_counter() - wall0 >= min_seconds:
+            break
+    float(loss)  # drain the dispatch queue before stopping the clock
+    wall = time.perf_counter() - wall0
+    e2e_rate = n_images / wall / n_devices
+
+    # fetch-wait fraction: re-run one epoch timing next() explicitly
+    iterator = iter(loader)
+    wait0 = time.perf_counter()
+    waited = 0.0
+    images2 = 0
+    while True:
+        t = time.perf_counter()
+        try:
+            host_batch = next(iterator)
+        except StopIteration:
+            break
+        waited += time.perf_counter() - t
+        device_batch = jax.device_put(host_batch, sharded)
+        params, params_c, opt_state, loss = jit_step(
+            params, params_c, opt_state, device_batch,
+            jax.random.fold_in(key, step_index),
+        )
+        step_index += 1
+        images2 += host_batch.shape[0]
+    float(loss)
+    wall2 = time.perf_counter() - wait0
+    stall_fraction = waited / wall2 if wall2 > 0 else 0.0
+
+    try:
+        visible_cores = len(os.sched_getaffinity(0))
+    except AttributeError:
+        visible_cores = os.cpu_count() or 1
+    host_cores = int(os.environ.get("BENCH_INPUT_HOST_CORES",
+                                    str(os.cpu_count() or visible_cores)))
+    host_rate = n_images / wall  # global host production rate during overlap
+    projected = host_rate / max(visible_cores, 1) * host_cores
+    print(json.dumps({
+        "metric": "mae_e2e_pipeline_throughput",
+        "value": round(e2e_rate, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(e2e_rate / BASELINE_IMAGES_PER_SEC, 3),
+        "detail": {
+            "device_only_img_s": round(device_only, 1),
+            "host_img_s": round(host_rate, 1),
+            "host_fetch_wait_fraction": round(stall_fraction, 3),
+            "visible_cores": visible_cores,
+            "host_cores": host_cores,
+            "projected_full_host_img_s": round(projected, 1),
+            "workers": workers,
+            "batch_per_chip": batch // n_devices,
+        },
+    }))
 
 
 def bench_input() -> None:
@@ -468,23 +759,7 @@ def bench_input() -> None:
     ]
     baseline = float(os.environ.get("BENCH_INPUT_BASELINE", "1761"))
 
-    corpus = Path(tempfile.gettempdir()) / f"bench_input_{n_frames}_{src_h}x{src_w}"
-    if not corpus.exists() or len(list(corpus.glob("*.jpg"))) < n_frames:
-        corpus.mkdir(parents=True, exist_ok=True)
-        rng = np.random.default_rng(0)
-        # Low-frequency content + noise: realistic JPEG entropy (pure noise
-        # decodes unrealistically slowly; flat color unrealistically fast).
-        for i in range(n_frames):
-            base = rng.integers(0, 255, size=(src_h // 16, src_w // 16, 3),
-                                dtype=np.uint8)
-            img = Image.fromarray(base).resize((src_w, src_h), Image.BILINEAR)
-            arr = np.asarray(img, dtype=np.int16)
-            arr = np.clip(
-                arr + rng.integers(-12, 12, size=arr.shape, dtype=np.int16),
-                0, 255,
-            ).astype(np.uint8)
-            Image.fromarray(arr).save(corpus / f"f{i:05d}.jpg", quality=90)
-
+    corpus = _ensure_corpus(n_frames, src_h, src_w)
     index = ImageFolderIndex(corpus, no_train_dir=True)
     results = {}
     best = 0.0
@@ -553,5 +828,7 @@ if __name__ == "__main__":
         bench_eval()
     elif workload == "input":
         bench_input()
+    elif workload == "e2e":
+        bench_e2e()
     else:
         main()
