@@ -54,10 +54,24 @@ def format_threshold_key(dataset: str, split: str, policy: str) -> str:
     return f"{dataset.lower()}_{split.lower()}_{policy.lower()}"
 
 
-def save_thresholds(path: str | Path, thresholds: Mapping[str, float]) -> None:
-    from ssl4polyp_tpu.parallel.multihost import is_primary
+def save_thresholds(
+    path: str | Path,
+    thresholds: Mapping[str, float],
+    *,
+    primary: Optional[bool] = None,
+) -> None:
+    """Write a threshold store; only the primary host writes.
 
-    if not is_primary():
+    ``primary`` is an injection point so this numpy-only module never has
+    to touch the parallel layer: callers that already know their host role
+    pass it explicitly. When omitted, the multihost check is consulted
+    (imported lazily so single-host/numpy-only use never loads jax).
+    """
+    if primary is None:
+        from ssl4polyp_tpu.parallel.multihost import is_primary
+
+        primary = is_primary()
+    if not primary:
         return
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

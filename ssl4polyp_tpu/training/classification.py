@@ -1089,7 +1089,7 @@ def run_classification_training(
             seed=plan.seed,
             policy=plan.threshold_policy,
         )
-        th.save_thresholds(store_path, thresholds_map)
+        th.save_thresholds(store_path, thresholds_map, primary=is_primary())
         threshold_file_rel = str(store_path)
 
     # ---------------- metrics.json -------------------------------------------

