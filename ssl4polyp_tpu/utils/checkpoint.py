@@ -55,7 +55,11 @@ def _to_numpy(tree: Any, copy: bool = False) -> Any:
         return type(tree)(_to_numpy(item, copy) for item in tree)
     if hasattr(tree, "shape") and hasattr(tree, "dtype"):
         array = np.asarray(tree)
-        if copy and array is tree:
+        # ``copy=True`` must hold even if np.asarray returned a view of the
+        # caller's (or a CPU jax buffer's) memory — guard on ownership, not
+        # just object identity, so a future zero-copy __array__ path can't
+        # silently alias a donated buffer under the async writer.
+        if copy and (array is tree or array.base is not None or not array.flags["OWNDATA"]):
             array = array.copy()
         return array
     return tree
