@@ -75,6 +75,10 @@ class _PickleWriter:
     def __init__(self, out: IO[bytes]):
         self._out = out
         self.storages: Dict[str, np.ndarray] = {}
+        # Containers on the current recursion path. There are no MEMO
+        # opcodes (shared references serialize as independent copies), so a
+        # cyclic graph would recurse forever — fail loudly instead.
+        self._stack: set[int] = set()
 
     # -- low-level opcode helpers ----------------------------------------
     def _w(self, data: bytes) -> None:
@@ -122,23 +126,32 @@ class _PickleWriter:
             obj, np.generic
         ):
             self._tensor(np.asarray(obj))
-        elif isinstance(obj, dict):
-            self._w(b"}")
-            if obj:
-                self._w(b"(")
-                for key, value in obj.items():
-                    self.save(key)
-                    self.save(value)
-                self._w(b"u")
-        elif isinstance(obj, (list,)):
-            self._w(b"]")
-            if obj:
-                self._w(b"(")
-                for item in obj:
-                    self.save(item)
-                self._w(b"e")
-        elif isinstance(obj, tuple):
-            self._tuple(obj)
+        elif isinstance(obj, (dict, list, tuple)):
+            if id(obj) in self._stack:
+                raise TorchPickleError(
+                    "cyclic object graph cannot be written to a .pt file"
+                )
+            self._stack.add(id(obj))
+            try:
+                if isinstance(obj, dict):
+                    self._w(b"}")
+                    if obj:
+                        self._w(b"(")
+                        for key, value in obj.items():
+                            self.save(key)
+                            self.save(value)
+                        self._w(b"u")
+                elif isinstance(obj, list):
+                    self._w(b"]")
+                    if obj:
+                        self._w(b"(")
+                        for item in obj:
+                            self.save(item)
+                        self._w(b"e")
+                else:
+                    self._tuple(obj)
+            finally:
+                self._stack.discard(id(obj))
         else:
             raise TorchPickleError(
                 f"cannot serialize {type(obj).__name__!r} into a .pt file"

@@ -295,3 +295,19 @@ def test_writer_non_contiguous_and_errors(tmp_path):
         write_pt(tmp_path / "bad.pt", {"obj": object()})
     with pytest.raises(TorchPickleError):
         write_pt(tmp_path / "badarr.pt", np.array(["strings"]))
+
+
+def test_writer_rejects_cycles_allows_shared_refs(tmp_path):
+    """No MEMO opcodes: cycles must fail loudly (they'd otherwise recurse
+    forever); DAG-shared references are fine and serialize as copies."""
+    from ssl4polyp_tpu.models.pth_writer import TorchPickleError, write_pt
+
+    cyclic: list = []
+    cyclic.append({"self": cyclic})
+    with pytest.raises(TorchPickleError, match="cyclic"):
+        write_pt(tmp_path / "cycle.pt", {"c": cyclic})
+
+    shared = {"w": np.ones(3, dtype=np.float32)}
+    write_pt(tmp_path / "dag.pt", {"a": shared, "b": shared})
+    loaded = torch.load(tmp_path / "dag.pt", weights_only=True)
+    np.testing.assert_array_equal(loaded["a"]["w"].numpy(), loaded["b"]["w"].numpy())
